@@ -1,0 +1,233 @@
+"""HTML resource extraction kernels.
+
+Re-derivation of walk's response handling
+(``/root/reference/lib/resource.go:89-189``):
+
+- content sniffing (Go ``http.DetectContentType`` subset — WHATWG
+  mimesniff, ``lib/resource.go:102``),
+- HTML gate: parse only when the sniff is ``text/html; charset=utf-8``
+  or ``text/plain; charset=utf-8`` (``lib/resource.go:117-119``),
+- title = text of ``<title>`` elements (``lib/resource.go:126``),
+- links = every element carrying an ``href`` attribute, in document
+  order, resolved against the page URL, normalized, de-duplicated
+  keeping the first occurrence (``lib/resource.go:158-189``),
+- body hash = multihash SHA2-256, base58 (``lib/resource.go:113-115``),
+- visible-text extraction (this engine's addition; walk stores raw
+  bodies only). Deterministic rule: drop ``<script>``/``<style>``
+  subtrees, strip tags, unescape entities, collapse whitespace runs to
+  single spaces, strip ends. The synthetic pages generator writes the
+  ``text`` column with this exact rule, giving the byte-identical
+  per-url invariant a concrete anchor.
+
+Everything here is pure-Python per batch with precompiled regexes:
+HTML work is inherently per-document, so the vectorization boundary is
+the batch loop, not the row internals.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from html import unescape as html_unescape
+
+__all__ = [
+    "detect_content_type",
+    "extract_title",
+    "extract_links",
+    "extract_text",
+    "multihash_b58",
+    "extract_batch",
+]
+
+# --- content sniffing (Go http.DetectContentType subset) -------------
+
+_HTML_SIGS = [
+    b"<!DOCTYPE HTML",
+    b"<HTML",
+    b"<HEAD",
+    b"<SCRIPT",
+    b"<IFRAME",
+    b"<H1",
+    b"<DIV",
+    b"<FONT",
+    b"<TABLE",
+    b"<A",
+    b"<STYLE",
+    b"<TITLE",
+    b"<B",
+    b"<BODY",
+    b"<BR",
+    b"<P",
+    b"<!--",
+]
+
+_BINARY_BYTES = frozenset(
+    list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1A)) + list(range(0x1C, 0x20))
+)
+
+_EXACT_SIGS = [
+    (b"%PDF-", "application/pdf"),
+    (b"%!PS-Adobe-", "application/postscript"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"BM", "image/bmp"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"\x1f\x8b\x08", "application/x-gzip"),
+    (b"OggS", "application/ogg"),
+    (b"ID3", "audio/mpeg"),
+]
+
+
+def detect_content_type(body: bytes) -> str:
+    """WHATWG-mimesniff content type of ``body``'s first 512 bytes,
+    matching Go ``http.DetectContentType`` for the types this engine
+    emits (HTML, XML, plain text, common image/binary signatures)."""
+    data = bytes(body[:512])
+    stripped = data.lstrip(b"\t\n\x0c\r ")
+    upper = stripped.upper()
+    for sig in _HTML_SIGS:
+        if upper.startswith(sig):
+            # Go requires a tag-terminating byte (space or '>').
+            rest = upper[len(sig) : len(sig) + 1]
+            if rest in (b" ", b">"):
+                return "text/html; charset=utf-8"
+    if stripped.startswith(b"<?xml"):
+        return "text/xml; charset=utf-8"
+    for sig, ctype in _EXACT_SIGS:
+        if data.startswith(sig):
+            return ctype
+    if data[:3] == b"\xef\xbb\xbf":
+        return "text/plain; charset=utf-8"
+    if data[:2] in (b"\xfe\xff", b"\xff\xfe"):
+        return "text/plain; charset=utf-16be" if data[:2] == b"\xfe\xff" else "text/plain; charset=utf-16le"
+    if any(b in _BINARY_BYTES for b in data):
+        return "application/octet-stream"
+    return "text/plain; charset=utf-8"
+
+
+# --- HTML parsing kernels --------------------------------------------
+
+_RX_TITLE = re.compile(rb"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL)
+# Any tag with an href attribute; capture the value in double quotes,
+# single quotes, or bare.
+_RX_HREF_TAG = re.compile(
+    rb"<[a-zA-Z][^>]*?\shref\s*=\s*(\"([^\"]*)\"|'([^']*)'|([^\s>]+))",
+    re.DOTALL,
+)
+_RX_SCRIPT_STYLE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_RX_TAG = re.compile(rb"<[^>]*>")
+_RX_WS = re.compile(r"\s+")
+
+
+def _decode(b: bytes) -> str:
+    return b.decode("utf-8", errors="replace")
+
+
+def extract_title(html: bytes) -> str:
+    """Concatenated text of all ``<title>`` elements (goquery
+    ``Find("title").Text()`` semantics), entity-unescaped."""
+    parts = [_decode(m.group(1)) for m in _RX_TITLE.finditer(html)]
+    return html_unescape("".join(parts))
+
+
+def extract_links(html: bytes, page_url: str) -> list[str]:
+    """Normalized absolute link targets of every ``[href]`` element in
+    document order, first occurrence wins (``lib/resource.go:158-189``)."""
+    from .canon import resolve_and_normalize
+
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _RX_HREF_TAG.finditer(html):
+        raw = m.group(2) or m.group(3) or m.group(4) or b""
+        href = html_unescape(_decode(raw))
+        norm = resolve_and_normalize(page_url, href)
+        if norm is None or norm in seen:
+            continue
+        seen.add(norm)
+        out.append(norm)
+    return out
+
+
+def extract_text(html: bytes) -> str:
+    """Deterministic visible-text extraction (documented rule above)."""
+    no_scripts = _RX_SCRIPT_STYLE.sub(b" ", html)
+    no_tags = _RX_TAG.sub(b" ", no_scripts)
+    text = html_unescape(_decode(no_tags))
+    return _RX_WS.sub(" ", text).strip()
+
+
+# --- hashing ----------------------------------------------------------
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58encode(raw: bytes) -> str:
+    n = int.from_bytes(raw, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    pad = 0
+    for b in raw:
+        if b == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def multihash_b58(body: bytes) -> str:
+    """Base58 multihash (SHA2-256) of ``body``, matching
+    ``multihash.Sum(body, SHA2_256, -1).String()``
+    (``lib/resource.go:113-115``): varint fn code 0x12, length 0x20,
+    then the digest."""
+    digest = hashlib.sha256(body).digest()
+    return _b58encode(b"\x12\x20" + digest)
+
+
+# --- batch kernel -----------------------------------------------------
+
+_HTML_SNIFFS = ("text/html; charset=utf-8", "text/plain; charset=utf-8")
+
+
+def extract_batch(urls, bodies):
+    """Per-batch extraction: returns dict of equal-length lists
+    ``(content_sniff, content_length, hash, title, links, text)``.
+
+    The HTML gate mirrors ``lib/resource.go:117-119``: title/links/text
+    are only produced when the sniff is text/html or text/plain (both
+    utf-8); other content types get empty values.
+    """
+    sniffs: list[str] = []
+    lengths: list[int] = []
+    hashes: list[str] = []
+    titles: list[str] = []
+    links: list[list[str]] = []
+    texts: list[str] = []
+    for url, body in zip(urls, bodies):
+        body = bytes(body) if body is not None else b""
+        sniff = detect_content_type(body)
+        sniffs.append(sniff)
+        lengths.append(len(body))
+        hashes.append(multihash_b58(body))
+        if sniff in _HTML_SNIFFS:
+            titles.append(extract_title(body))
+            links.append(extract_links(body, url))
+            texts.append(extract_text(body))
+        else:
+            titles.append("")
+            links.append([])
+            texts.append("")
+    return {
+        "content_sniff": sniffs,
+        "content_length": lengths,
+        "hash": hashes,
+        "title": titles,
+        "links": links,
+        "text": texts,
+    }

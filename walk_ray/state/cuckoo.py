@@ -1,0 +1,104 @@
+"""A small cuckoo filter over 64-bit URL hashes.
+
+Design element required by the rebuild's north rule: the URL-seen set
+at 10^10-frontier scale cannot hold every URL string in RAM, so each
+seen-shard fronts its exact store with a compact membership filter
+(~2 bytes/entry here). False positives are possible; the exact
+per-shard store stays authoritative (walk's RequestStore semantics,
+``/root/reference/lib/request_store.go:12-16``) — the filter's job is
+to let the common "definitely new" case skip the exact probe/spill
+path.
+
+Batch-oriented: ``contains_batch`` is vectorized with numpy; inserts
+walk items in Python but only run for rows that passed the novelty
+check (once per unique URL ever seen).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["CuckooFilter"]
+
+_KICK_LIMIT = 500
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+class CuckooFilter:
+    def __init__(self, capacity: int, bucket_size: int = 4, seed: int = 7):
+        n_buckets = 1
+        while n_buckets * bucket_size < capacity / 0.9:
+            n_buckets *= 2
+        self.n_buckets = n_buckets
+        self.bucket_size = bucket_size
+        self.buckets = np.zeros((n_buckets, bucket_size), dtype=np.uint16)
+        self.count = 0
+        self.kicked_out = 0  # items dropped after kick limit (degrades to FP-free miss on exact store)
+        self._rng = np.random.default_rng(seed)
+        self._mask = np.uint64(n_buckets - 1)
+
+    def _fp_and_slots(self, h: np.ndarray):
+        h = h.astype(np.uint64, copy=False)
+        fp = ((h >> np.uint64(48)) & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)
+        i1 = (h & self._mask).astype(np.int64)
+        alt = (fp.astype(np.uint64) * _MIX) & self._mask
+        i2 = (i1 ^ alt.astype(np.int64)) & int(self._mask)
+        return fp, i1, i2
+
+    def contains_batch(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership probe for an array of uint64 hashes."""
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        fp, i1, i2 = self._fp_and_slots(np.asarray(hashes))
+        b1 = self.buckets[i1]  # (n, bucket_size)
+        b2 = self.buckets[i2]
+        fpc = fp[:, None]
+        return ((b1 == fpc) | (b2 == fpc)).any(axis=1)
+
+    def insert_batch(self, hashes: np.ndarray) -> None:
+        if len(hashes) == 0:
+            return
+        fp, i1, i2 = self._fp_and_slots(np.asarray(hashes))
+        buckets = self.buckets
+        bs = self.bucket_size
+        mask = int(self._mask)
+        for k in range(len(fp)):
+            f = fp[k]
+            placed = False
+            for idx in (i1[k], i2[k]):
+                row = buckets[idx]
+                for s in range(bs):
+                    if row[s] == 0:
+                        row[s] = f
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                self.count += 1
+                continue
+            # cuckoo kicks
+            idx = int(i1[k] if self._rng.integers(2) else i2[k])
+            cur = f
+            for _ in range(_KICK_LIMIT):
+                s = int(self._rng.integers(bs))
+                cur, buckets[idx][s] = buckets[idx][s], cur
+                alt = np.uint64((int(cur) * int(_MIX)) & 0xFFFFFFFFFFFFFFFF) & self._mask
+                idx = (idx ^ int(alt)) & mask
+                row = buckets[idx]
+                done = False
+                for s2 in range(bs):
+                    if row[s2] == 0:
+                        row[s2] = cur
+                        done = True
+                        break
+                if done:
+                    self.count += 1
+                    break
+            else:
+                self.kicked_out += 1
+
+    @property
+    def load_factor(self) -> float:
+        return self.count / (self.n_buckets * self.bucket_size)

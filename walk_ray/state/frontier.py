@@ -1,0 +1,149 @@
+"""Frontier shards: per-host politeness-paced priority queues.
+
+Walk's frontier is one FIFO channel of capacity 150
+(``/root/reference/lib/queue.go:24-72``) with per-host crawl delays
+delegated to fetchbot (``lib/worker.go:81-83``). Here the frontier is
+sharded by ``hash(host)`` so a host's entries are always owned by one
+shard — preserving per-host FIFO order and politeness pacing no matter
+how many shards exist — and each shard paces hosts with a virtual
+clock: host ``h`` may fetch again ``delay`` seconds after its previous
+fetch.
+
+Deterministic ordering (SURVEY §2.9): walk's own enqueue order is
+nondeterministic (Go map iteration, ``lib/coordinator.go:301``); this
+engine defines the canonical linearization — entries sort by
+``(epoch, parent_seq, link_idx)`` (discovery order) within a host, and
+pops are reported with an assigned virtual ``fetch_after`` so the
+global crawl order is ``(epoch, fetch_after, parent_seq, link_idx)``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import deque
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["FrontierShard", "FRONTIER_COLS"]
+
+FRONTIER_COLS = ("url", "host", "job_id", "attempts", "prev_status", "epoch", "parent_seq", "link_idx")
+
+_CKPT_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("host", pa.string()),
+        ("job_id", pa.string()),
+        ("attempts", pa.int32()),
+        ("prev_status", pa.int32()),
+        ("epoch", pa.int32()),
+        ("parent_seq", pa.int64()),
+        ("link_idx", pa.int32()),
+    ]
+)
+
+
+class FrontierShard:
+    """One frontier shard (plain class; the driver wraps it in
+    ``ray.remote``)."""
+
+    def __init__(self, shard_id: int = 0, delay_sec: float = 0.0):
+        self.shard_id = shard_id
+        self.delay = float(delay_sec)
+        self.queues: dict[str, deque] = {}      # host -> deque of entry tuples
+        self.host_next: dict[str, float] = {}   # host -> next allowed virtual fetch time
+        self.buffer: list[tuple] = []           # un-sorted arrivals since last pop
+        self.total = 0
+
+    # -- producers -----------------------------------------------------
+
+    def push(self, rows: dict) -> int:
+        """Accept a batch of frontier entries (dict of equal-length
+        lists keyed by FRONTIER_COLS)."""
+        n = len(rows["url"])
+        self.buffer.extend(zip(*(rows[c] for c in FRONTIER_COLS)))
+        self.total += n
+        return n
+
+    def _drain_buffer(self) -> None:
+        if not self.buffer:
+            return
+        # Canonical discovery order within the arrival window.
+        self.buffer.sort(key=lambda e: (e[5], e[6], e[7]))
+        for e in self.buffer:
+            self.queues.setdefault(e[1], deque()).append(e)
+        self.buffer.clear()
+
+    # -- consumer ------------------------------------------------------
+
+    def pop_ready(self, now: float, horizon: float, max_total: int = 1 << 30) -> dict:
+        """Pop every entry whose politeness slot falls inside
+        ``[now, now + horizon)``, assigning each its virtual
+        ``fetch_after``. Hosts are visited in sorted order for
+        determinism."""
+        self._drain_buffer()
+        out = {c: [] for c in FRONTIER_COLS}
+        out["fetch_after"] = []
+        deadline = now + horizon
+        popped = 0
+        empty_hosts = []
+        for host in sorted(self.queues):
+            q = self.queues[host]
+            t = max(self.host_next.get(host, 0.0), now)
+            while q and t < deadline and popped < max_total:
+                e = q.popleft()
+                for c, v in zip(FRONTIER_COLS, e):
+                    out[c].append(v)
+                out["fetch_after"].append(t)
+                t += self.delay
+                popped += 1
+                if self.delay == 0.0:
+                    continue
+            self.host_next[host] = t
+            if not q:
+                empty_hosts.append(host)
+        for host in empty_hosts:
+            del self.queues[host]
+        self.total -= popped
+        return out
+
+    def next_ready_time(self) -> float | None:
+        """Earliest virtual time any queued host could fetch; None when
+        the shard is empty."""
+        self._drain_buffer()
+        if not self.queues:
+            return None
+        return min(self.host_next.get(h, 0.0) for h in self.queues)
+
+    # -- introspection / persistence ----------------------------------
+
+    def size(self) -> int:
+        return self.total
+
+    def host_sizes(self) -> dict[str, int]:
+        self._drain_buffer()
+        return {h: len(q) for h, q in self.queues.items()}
+
+    def checkpoint(self, directory: str) -> str:
+        self._drain_buffer()
+        os.makedirs(directory, exist_ok=True)
+        entries = [e for h in sorted(self.queues) for e in self.queues[h]]
+        cols = list(zip(*entries)) if entries else [[] for _ in FRONTIER_COLS]
+        table = pa.table(
+            {c: pa.array(list(v), _CKPT_SCHEMA.field(c).type) for c, v in zip(FRONTIER_COLS, cols)},
+            schema=_CKPT_SCHEMA,
+        )
+        path = os.path.join(directory, f"frontier-{self.shard_id:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, directory: str) -> int:
+        path = os.path.join(directory, f"frontier-{self.shard_id:05d}.parquet")
+        t = pq.read_table(path)
+        self.queues.clear()
+        self.host_next.clear()
+        self.buffer = list(zip(*(t[c].to_pylist() for c in FRONTIER_COLS))) if t.num_rows else []
+        self.total = t.num_rows
+        return t.num_rows

@@ -1,0 +1,180 @@
+"""URL-seen / request-store shards.
+
+Walk's ``RequestStore`` (``/root/reference/lib/request_store.go:11-16``)
+is a single mutex-guarded map keyed by the *raw* URL string; the
+coordinator consults it for the seen anti-join
+(``lib/coordinator.go:301-309``) and updates status/attempts on dequeue
+(``lib/coordinator.go:330-388``). Here the store is sharded across an
+actor pool by a stable 64-bit hash of the URL so the anti-join becomes
+a hash-partitioned batch RPC instead of a global lock, and each shard
+fronts its exact dict with a cuckoo filter (see
+``walk_ray.state.cuckoo``) for 10^10-frontier arithmetic.
+
+Conformance notes kept intact:
+- keys are URL strings exactly as enqueued — links arrive normalized
+  (``lib/resource.go:177``) but seeds enter raw
+  (``lib/coordinator.go:176``); the asymmetry is part of walk's
+  observable behavior and is reproduced, not fixed.
+- dequeue semantics (``lib/coordinator.go:330-388``): the entry is
+  keyed by the *resource's* URL (normalized by the worker), created on
+  miss; ``prev_status`` updated, ``attempts`` incremented; ok-status →
+  Done, attempts ≤ max → retry (re-queued), else Failed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..schema import (
+    STATUS_DONE,
+    STATUS_FAILED,
+    STATUS_QUEUED,
+    URL_SEEN,
+)
+from .cuckoo import CuckooFilter
+
+__all__ = ["SeenShard", "url_hash64", "shard_of", "url_hash64_batch"]
+
+
+def url_hash64(url: str) -> int:
+    """Stable (process-independent) 64-bit hash of a URL string."""
+    return int.from_bytes(hashlib.blake2b(url.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def url_hash64_batch(urls) -> np.ndarray:
+    b2b = hashlib.blake2b
+    return np.fromiter(
+        (int.from_bytes(b2b(u.encode("utf-8"), digest_size=8).digest(), "big") for u in urls),
+        dtype=np.uint64,
+        count=len(urls),
+    )
+
+
+def shard_of(hashes: np.ndarray, n_shards: int) -> np.ndarray:
+    return (hashes % np.uint64(n_shards)).astype(np.int64)
+
+
+class SeenShard:
+    """One shard of the request store. Wrapped in ``ray.remote`` by the
+    crawl driver; kept a plain class so unit tests run without Ray."""
+
+    def __init__(self, shard_id: int = 0, capacity: int = 1 << 16):
+        self.shard_id = shard_id
+        # url -> [status, attempts, prev_status]
+        self.entries: dict[str, list[int]] = {}
+        self.filter = CuckooFilter(capacity)
+        self.filter_false_positives = 0  # filter said maybe, exact store said new
+
+    # -- enqueue path --------------------------------------------------
+
+    def check_and_add(self, urls: list[str], failed: bool = False) -> list[bool]:
+        """Anti-join + insert: for each URL return True when it was
+        unseen (now marked Queued / Failed-at-shutdown). Mirrors
+        ``coord.enqueue`` + ``GetRequest`` (lib/coordinator.go:301-328).
+        """
+        if not urls:
+            return []
+        hashes = url_hash64_batch(urls)
+        maybe_seen = self.filter.contains_batch(hashes)
+        status = STATUS_FAILED if failed else STATUS_QUEUED
+        out = []
+        new_hashes = []
+        entries = self.entries
+        for i, u in enumerate(urls):
+            if maybe_seen[i]:
+                if u in entries:
+                    out.append(False)
+                    continue
+                self.filter_false_positives += 1
+            elif u in entries:  # filter overflow fallback (kicked_out > 0)
+                out.append(False)
+                continue
+            entries[u] = [status, 0, 0]
+            new_hashes.append(hashes[i])
+            out.append(True)
+        if new_hashes:
+            self.filter.insert_batch(np.asarray(new_hashes, dtype=np.uint64))
+        return out
+
+    # -- dequeue path --------------------------------------------------
+
+    def dequeue(self, urls: list[str], statuses: list[int], max_attempts: int) -> list[str]:
+        """Record fetch results; returns per-URL disposition
+        ``done`` | ``retry`` | ``failed`` (lib/coordinator.go:330-388)."""
+        out = []
+        for u, s in zip(urls, statuses):
+            e = self.entries.get(u)
+            if e is None:
+                e = [STATUS_QUEUED, 0, 0]
+                self.entries[u] = e
+                self.filter.insert_batch(url_hash64_batch([u]))
+            e[2] = int(s)
+            e[1] += 1
+            if 200 <= s <= 308:
+                e[0] = STATUS_DONE
+                out.append("done")
+            elif e[1] <= max_attempts:
+                e[0] = STATUS_QUEUED
+                out.append("retry")
+            else:
+                e[0] = STATUS_FAILED
+                out.append("failed")
+        return out
+
+    # -- introspection / persistence ----------------------------------
+
+    def size(self) -> int:
+        return len(self.entries)
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "entries": len(self.entries),
+            "filter_count": self.filter.count,
+            "filter_load": self.filter.load_factor,
+            "filter_false_positives": self.filter_false_positives,
+            "filter_kicked_out": self.filter.kicked_out,
+        }
+
+    def dump(self) -> pa.Table:
+        urls = list(self.entries.keys())
+        vals = list(self.entries.values())
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "status": pa.array([v[0] for v in vals], pa.uint8()),
+                "attempts": pa.array([v[1] for v in vals], pa.int32()),
+                "prev_status": pa.array([v[2] for v in vals], pa.int32()),
+            },
+            schema=URL_SEEN,
+        )
+
+    def checkpoint(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"seen-{self.shard_id:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(self.dump(), tmp)
+        os.replace(tmp, path)
+        return path
+
+    def restore(self, directory: str) -> int:
+        path = os.path.join(directory, f"seen-{self.shard_id:05d}.parquet")
+        t = pq.read_table(path)
+        self.entries = {
+            u: [s, a, p]
+            for u, s, a, p in zip(
+                t["url"].to_pylist(),
+                t["status"].to_pylist(),
+                t["attempts"].to_pylist(),
+                t["prev_status"].to_pylist(),
+            )
+        }
+        self.filter = CuckooFilter(max(len(self.entries) * 2, 1 << 16))
+        if self.entries:
+            self.filter.insert_batch(url_hash64_batch(list(self.entries.keys())))
+        return len(self.entries)

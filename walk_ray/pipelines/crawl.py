@@ -1,0 +1,606 @@
+"""The crawl: a driver-side epoch loop over Ray Data pipelines.
+
+Walk's fixed-point fetch-and-expand loop
+(``/root/reference/lib/coordinator.go:261-312``) becomes BSP
+supersteps (SURVEY §2.9): each epoch pops every politeness-ready
+frontier entry, runs ONE streaming Dataset pipeline
+
+    pops → FetchStage (PageStore actor lookups)
+         → extract_resources (vectorized kernels, bodies dropped)
+         → CommitStage (resources sink + dequeue via SeenShards +
+                        candidate emit)
+         → groupby(url).min(disc)   # deterministic first-discovery
+         → PushStage (seen anti-join + frontier push)
+
+and loops until the frontier is empty and nothing is in flight —
+walk's done-scan condition (``lib/coordinator.go:181-216``).
+
+Determinism: walk's completion-batch link iteration is Go-map-ordered
+(nondeterministic, ``lib/coordinator.go:301``); this engine's
+canonical linearization is ``(epoch, fetch_after, parent_seq,
+link_idx)`` — the per-epoch ``groupby(url).min(disc_key)`` barrier
+makes first-discovery attribution exact, so two runs produce identical
+crawl order, URL-seen set and sitemap.
+
+Scale notes (10^10-frontier arithmetic):
+- only frontier rows (url + small ints) ever reach the driver, capped
+  by ``max_pop_per_epoch``; bodies stay inside the epoch pipeline and
+  are dropped before the only shuffle (the candidate groupby);
+- the seen anti-join is a hash-partitioned batch RPC against sharded
+  cuckoo-fronted stores, not a Dataset join;
+- per-epoch outputs land in ``resources/epoch=K/`` so a resumed run
+  (``resume=True``) restores the last checkpoint manifest and replays
+  only unfinished epochs.
+
+Side-effecting stages (CommitStage / PushStage) assume Ray Data does
+not re-execute their tasks; the epoch checkpoint is the recovery unit
+(retries off for those stages would be set per-stage on a real
+cluster).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions.canon import url_host
+from ..functions.urlfilter import CandidateFilter
+from ..sources.pages import PageStore, prepare_page_partitions
+from ..stages.extract_stage import RESOURCE_STAGE_SCHEMA, extract_resources
+from ..stages.fetch import FetchStage
+from ..state.frontier import FRONTIER_COLS, FrontierShard
+from ..state.robots import RobotsCache
+from ..state.seen import SeenShard, shard_of, url_hash64_batch
+
+__all__ = ["CrawlConfig", "CrawlJob"]
+
+_DISC_SHIFT = 1 << 20  # link_idx fits in 20 bits
+
+
+@dataclass
+class CrawlConfig:
+    """Mirror of walk's JobConfig + worker/coordinator knobs
+    (``/root/reference/lib/config.go:89-190``)."""
+
+    seeds: list[str] = field(default_factory=list)
+    domains: list[str] = field(default_factory=list)
+    ignore_patterns: list[str] = field(default_factory=list)
+    crawl: bool = True
+    delay_milli: int = 0
+    max_attempts: int = 3
+    stop_url: str = ""
+    stop_after_entries: int = 0
+    polite: bool = False
+    record_redirects: bool = True
+    job_id: str = "1"
+    # physical knobs
+    n_frontier_shards: int = 4
+    n_seen_shards: int = 4
+    n_page_parts: int = 4
+    fetch_concurrency: int = 4
+    fetch_batch_size: int = 1024
+    max_pop_per_epoch: int = 500_000
+    horizon_sec: float = 3600.0
+    checkpoint_every: int = 0  # epochs between checkpoints; 0 = final only
+
+    @classmethod
+    def from_job_json(cls, job: dict, **overrides) -> "CrawlConfig":
+        cfg = cls(
+            seeds=job.get("seeds", []),
+            domains=job.get("domains", []),
+            ignore_patterns=job.get("ignore_patterns", []),
+            crawl=job.get("crawl", True),
+            delay_milli=job.get("delay_milli", 0),
+            max_attempts=job.get("max_attempts", 3),
+            stop_url=job.get("stop_url", ""),
+            stop_after_entries=job.get("stop_after_entries", 0),
+        )
+        for k, v in overrides.items():
+            setattr(cfg, k, v)
+        return cfg
+
+
+class CommitStage:
+    """Dequeue + resources sink + candidate emit (one map_batches
+    stage; SURVEY §3.1 step 6 re-expressed)."""
+
+    def __init__(self, seen_handles, frontier_handles, robots_handle, cfg: CrawlConfig,
+                 resources_dir: str, metrics_handle):
+        self.seen = seen_handles
+        self.frontier = frontier_handles
+        self.robots = robots_handle
+        self.cfg = cfg
+        self.resources_dir = resources_dir
+        self.metrics = metrics_handle
+        self.filter = CandidateFilter(cfg.domains, cfg.ignore_patterns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        cfg = self.cfg
+        urls = batch["url"].to_pylist()
+        statuses = batch["status"].to_pylist()
+        epochs = batch["epoch"].to_pylist()
+        seqs = batch["seq"].to_pylist()
+        attempts_in = batch["attempts"].to_pylist()
+        n = batch.num_rows
+
+        # 1. dequeue via seen shards (keyed by the RESOURCE url,
+        #    lib/coordinator.go:330-340)
+        shard_ids = shard_of(url_hash64_batch(urls), len(self.seen))
+        by_shard: dict[int, list[int]] = {}
+        for i, s in enumerate(shard_ids):
+            by_shard.setdefault(int(s), []).append(i)
+        dispositions = [""] * n
+        futures = {
+            s: self.seen[s].dequeue.remote([urls[i] for i in idxs], [statuses[i] for i in idxs],
+                                           cfg.max_attempts)
+            for s, idxs in by_shard.items()
+        }
+        for s, idxs in by_shard.items():
+            for i, d in zip(idxs, ray.get(futures[s])):
+                dispositions[i] = d
+
+        done_mask = [d == "done" for d in dispositions]
+        retry_mask = [d == "retry" for d in dispositions]
+
+        # 2. resources sink: handled (ok-status) rows only, mirroring
+        #    walk where handlers see only ok resources
+        #    (lib/coordinator.go:369-377)
+        handled = batch.filter(pa.array(done_mask))
+        if handled.num_rows:
+            out = handled.select([f.name for f in RESOURCE_STAGE_SCHEMA if f.name != "orig_url"])
+            path = os.path.join(self.resources_dir, f"part-{uuid.uuid4().hex}.parquet")
+            pq.write_table(out, path)
+
+        # 3. retries re-enter the frontier (lib/coordinator.go:381-385)
+        retried = 0
+        if any(retry_mask):
+            r_idx = [i for i in range(n) if retry_mask[i]]
+            rows = {
+                "url": [urls[i] for i in r_idx],
+                "host": [url_host(urls[i]) for i in r_idx],
+                "job_id": [cfg.job_id] * len(r_idx),
+                "attempts": [attempts_in[i] + 1 for i in r_idx],
+                "prev_status": [statuses[i] for i in r_idx],
+                "epoch": [epochs[i] + 1 for i in r_idx],
+                "parent_seq": [seqs[i] for i in r_idx],
+                "link_idx": [0] * len(r_idx),
+            }
+            self._push_frontier(rows)
+            retried = len(r_idx)
+
+        # 4. candidate links from handled resources
+        #    (candidate filter lib/job.go:250-271)
+        cand_urls: list[str] = []
+        cand_disc: list[int] = []
+        links_total = 0
+        if cfg.crawl:
+            links_col = handled["links"].to_pylist() if handled.num_rows else []
+            h_seqs = handled["seq"].to_pylist() if handled.num_rows else []
+            is_cand = self.filter
+            for links, pseq in zip(links_col, h_seqs):
+                links_total += len(links)
+                for li, link in enumerate(links):
+                    if is_cand(link):
+                        cand_urls.append(link)
+                        cand_disc.append(pseq * _DISC_SHIFT + li)
+            if cand_urls and cfg.polite and self.robots is not None:
+                allowed = ray.get(self.robots.allowed.remote(cand_urls))
+                cand_urls = [u for u, a in zip(cand_urls, allowed) if a]
+                cand_disc = [d for d, a in zip(cand_disc, allowed) if a]
+
+        stop_hit = bool(cfg.stop_url) and any(
+            u == cfg.stop_url for u, d in zip(urls, done_mask) if d
+        )
+        self.metrics.add.remote(
+            {
+                "fetched": n,
+                "done": sum(done_mask),
+                "failed": dispositions.count("failed"),
+                "retried": retried,
+                "links_total": links_total,
+                "links_candidates": len(cand_urls),
+                "stop_hit": int(stop_hit),
+            }
+        )
+        return pa.table(
+            {
+                "url": pa.array(cand_urls, pa.string()),
+                "disc": pa.array(cand_disc, pa.int64()),
+            }
+        )
+
+    def _push_frontier(self, rows: dict) -> None:
+        _push_rows_to_frontier(self.frontier, rows)
+
+
+def _push_rows_to_frontier(frontier_handles, rows: dict) -> None:
+    hosts = rows["host"]
+    shard_ids = shard_of(url_hash64_batch(hosts), len(frontier_handles))
+    waits = []
+    for s in set(shard_ids.tolist()):
+        idxs = [i for i, x in enumerate(shard_ids) if x == s]
+        shard_rows = {c: [rows[c][i] for i in idxs] for c in FRONTIER_COLS}
+        waits.append(frontier_handles[s].push.remote(shard_rows))
+    import ray
+
+    ray.get(waits)
+
+
+class PushStage:
+    """Seen anti-join + frontier push over the deduplicated candidate
+    set (J1/D1, lib/coordinator.go:301-309)."""
+
+    def __init__(self, seen_handles, frontier_handles, cfg: CrawlConfig, next_epoch: int,
+                 metrics_handle, stopping: bool = False):
+        self.seen = seen_handles
+        self.frontier = frontier_handles
+        self.cfg = cfg
+        self.next_epoch = next_epoch
+        self.metrics = metrics_handle
+        self.stopping = stopping
+
+    def __call__(self, batch) -> pa.Table:
+        import ray
+
+        urls = batch["url"].to_pylist()
+        disc_col = "min(disc)" if "min(disc)" in batch.column_names else "disc"
+        discs = batch[disc_col].to_pylist()
+        n = len(urls)
+        shard_ids = shard_of(url_hash64_batch(urls), len(self.seen))
+        by_shard: dict[int, list[int]] = {}
+        for i, s in enumerate(shard_ids):
+            by_shard.setdefault(int(s), []).append(i)
+        is_new = [False] * n
+        futures = {
+            s: self.seen[s].check_and_add.remote([urls[i] for i in idxs], self.stopping)
+            for s, idxs in by_shard.items()
+        }
+        for s, idxs in by_shard.items():
+            for i, new in zip(idxs, ray.get(futures[s])):
+                is_new[i] = new
+        new_idx = [i for i in range(n) if is_new[i]]
+        if new_idx and not self.stopping:
+            rows = {
+                "url": [urls[i] for i in new_idx],
+                "host": [url_host(urls[i]) for i in new_idx],
+                "job_id": [self.cfg.job_id] * len(new_idx),
+                "attempts": [0] * len(new_idx),
+                "prev_status": [0] * len(new_idx),
+                "epoch": [self.next_epoch] * len(new_idx),
+                "parent_seq": [discs[i] // _DISC_SHIFT for i in new_idx],
+                "link_idx": [discs[i] % _DISC_SHIFT for i in new_idx],
+            }
+            _push_rows_to_frontier(self.frontier, rows)
+        self.metrics.add.remote({"links_new": len(new_idx), "links_deduped_in_epoch": n})
+        return pa.table({"pushed": pa.array([len(new_idx)], pa.int64())})
+
+
+class _Metrics:
+    """Tiny counter actor: per-epoch counters accumulated from stages."""
+
+    def __init__(self):
+        self.counters: dict[str, int] = {}
+
+    def add(self, d: dict) -> None:
+        for k, v in d.items():
+            self.counters[k] = self.counters.get(k, 0) + int(v)
+
+    def drain(self) -> dict:
+        out, self.counters = self.counters, {}
+        return out
+
+
+class CrawlJob:
+    def __init__(self, cfg: CrawlConfig, pages_path: str, meta_path: str, workdir: str):
+        self.cfg = cfg
+        self.pages_path = pages_path
+        self.meta_path = meta_path
+        self.workdir = workdir
+        self.resources_root = os.path.join(workdir, "resources")
+        self.order_root = os.path.join(workdir, "order")
+        self.ckpt_root = os.path.join(workdir, "checkpoint")
+        os.makedirs(self.resources_root, exist_ok=True)
+        os.makedirs(self.order_root, exist_ok=True)
+        self.metrics_rows: list[dict] = []
+
+    # -- actor fleet ---------------------------------------------------
+
+    def _start_actors(self):
+        import ray
+
+        cfg = self.cfg
+        part_dir = os.path.join(self.workdir, "page_parts")
+        prepare_page_partitions(self.pages_path, self.meta_path, part_dir, cfg.n_page_parts)
+        Store = ray.remote(PageStore)
+        self.stores = [Store.remote(part_dir, i) for i in range(cfg.n_page_parts)]
+        Seen = ray.remote(SeenShard)
+        self.seen = [Seen.remote(i) for i in range(cfg.n_seen_shards)]
+        Front = ray.remote(FrontierShard)
+        self.frontier = [
+            Front.remote(i, cfg.delay_milli / 1000.0) for i in range(cfg.n_frontier_shards)
+        ]
+        self.robots = ray.remote(RobotsCache).remote(self.stores) if cfg.polite else None
+        self.metrics_actor = ray.remote(_Metrics).remote()
+        self.fetch_stage = FetchStage(self.stores, cfg.record_redirects)
+        self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
+                                        self.metrics_actor)
+        self.push_stage = PushStage(self.seen, self.frontier, cfg, 0, self.metrics_actor)
+        # wait for page stores to load
+        ray.get([s.size.remote() for s in self.stores])
+
+    # -- seeding -------------------------------------------------------
+
+    def _seed(self):
+        """Seeds enter RAW (lib/coordinator.go:174-179) in list order."""
+        import ray
+
+        cfg = self.cfg
+        urls = list(cfg.seeds)
+        if not urls:
+            return
+        shard_ids = shard_of(url_hash64_batch(urls), len(self.seen))
+        new = [False] * len(urls)
+        for s in sorted(set(shard_ids.tolist())):
+            idxs = [i for i, x in enumerate(shard_ids) if x == s]
+            res = ray.get(self.seen[s].check_and_add.remote([urls[i] for i in idxs]))
+            for i, r in zip(idxs, res):
+                new[i] = r
+        keep = [i for i in range(len(urls)) if new[i]]
+        rows = {
+            "url": [urls[i] for i in keep],
+            "host": [url_host(urls[i]) for i in keep],
+            "job_id": [cfg.job_id] * len(keep),
+            "attempts": [0] * len(keep),
+            "prev_status": [0] * len(keep),
+            "epoch": [0] * len(keep),
+            "parent_seq": [-1] * len(keep),
+            "link_idx": keep,
+        }
+        if keep:
+            _push_rows_to_frontier(self.frontier, rows)
+
+    # -- epoch loop ----------------------------------------------------
+
+    def run(self, resume: bool = False) -> dict:
+        import ray
+        import ray.data as rd
+
+        cfg = self.cfg
+        self._start_actors()
+
+        self.vnow = 0.0
+        self.seq_counter = 0
+        self.done_total = 0
+        epoch = 0
+        if resume and self._restore_checkpoint():
+            epoch = self.epoch_restored + 1
+        else:
+            self._seed()
+
+        stopping = False
+        t_start = time.monotonic()
+        while True:
+            t_epoch = time.monotonic()
+            pops = ray.get(
+                [
+                    f.pop_ready.remote(self.vnow, cfg.horizon_sec,
+                                       cfg.max_pop_per_epoch // len(self.frontier) + 1)
+                    for f in self.frontier
+                ]
+            )
+            merged = {c: [] for c in (*FRONTIER_COLS, "fetch_after")}
+            for p in pops:
+                for c in merged:
+                    merged[c].extend(p[c])
+            n_pop = len(merged["url"])
+            if n_pop == 0:
+                sizes = ray.get([f.size.remote() for f in self.frontier])
+                if sum(sizes) == 0 or stopping:
+                    break  # done-scan: queue empty ∧ nothing in flight
+                nexts = [t for t in ray.get([f.next_ready_time.remote() for f in self.frontier])
+                         if t is not None]
+                self.vnow = max(self.vnow, min(nexts))
+                continue
+
+            # canonical linearization + global seq assignment
+            order = sorted(
+                range(n_pop),
+                key=lambda i: (
+                    merged["epoch"][i],
+                    merged["fetch_after"][i],
+                    merged["parent_seq"][i],
+                    merged["link_idx"][i],
+                ),
+            )
+            seqs = [0] * n_pop
+            for rank, i in enumerate(order):
+                seqs[i] = self.seq_counter + rank
+            self.seq_counter += n_pop
+            pop_table = pa.table(
+                {
+                    "url": pa.array(merged["url"], pa.string()),
+                    "host": pa.array(merged["host"], pa.string()),
+                    "job_id": pa.array(merged["job_id"], pa.string()),
+                    "attempts": pa.array(merged["attempts"], pa.int32()),
+                    "prev_status": pa.array(merged["prev_status"], pa.int32()),
+                    "epoch": pa.array([epoch] * n_pop, pa.int32()),
+                    "parent_seq": pa.array(merged["parent_seq"], pa.int64()),
+                    "link_idx": pa.array(merged["link_idx"], pa.int32()),
+                    "fetch_after": pa.array(merged["fetch_after"], pa.float64()),
+                    "seq": pa.array(seqs, pa.int64()),
+                }
+            )
+            # crawl-order golden (epoch, seq, url)
+            order_t = pa.table(
+                {
+                    "epoch": pa.array([epoch] * n_pop, pa.int32()),
+                    "seq": pop_table["seq"],
+                    "url": pop_table["url"],
+                    "fetch_after": pop_table["fetch_after"],
+                }
+            )
+            pq.write_table(order_t, os.path.join(self.order_root, f"epoch-{epoch:05d}.parquet"))
+
+            res_dir = os.path.join(self.resources_root, f"epoch-{epoch:05d}")
+            shutil.rmtree(res_dir, ignore_errors=True)  # replay safety
+            os.makedirs(res_dir, exist_ok=True)
+
+            # Stages are pre-built instances holding only actor handles
+            # + config → they run as stateless Ray TASKS (no per-epoch
+            # actor-pool spin-up); the heavy state lives in the
+            # PageStore/Seen/Frontier actors they call into.
+            self.commit_stage.resources_dir = res_dir
+            self.push_stage.next_epoch = epoch + 1
+            self.push_stage.stopping = stopping
+            n_blocks = max(1, min(64, n_pop // cfg.fetch_batch_size + 1))
+            ds = rd.from_arrow(pop_table)
+            if n_blocks > 1:
+                ds = ds.repartition(n_blocks)
+            ds = ds.map_batches(self.fetch_stage, batch_format="pyarrow",
+                                batch_size=cfg.fetch_batch_size)
+            ds = ds.map_batches(extract_resources, batch_format="pyarrow",
+                                batch_size=cfg.fetch_batch_size)
+            ds = ds.map_batches(self.commit_stage, batch_format="pyarrow",
+                                batch_size=cfg.fetch_batch_size)
+            # deterministic first-discovery attribution: the epoch's one
+            # (narrow) shuffle — urls + int keys only
+            ds = ds.groupby("url").min("disc")
+            ds = ds.map_batches(self.push_stage, batch_format="pyarrow", batch_size=8192)
+            pushed = sum(b["pushed"].to_pylist()[0] for b in ds.iter_batches(batch_format="pyarrow")
+                         if b.num_rows)
+
+            counters = ray.get(self.metrics_actor.drain.remote())
+            self.done_total += counters.get("done", 0)
+            sizes = ray.get([f.size.remote() for f in self.frontier])
+            seen_sizes = ray.get([s.size.remote() for s in self.seen])
+            self.metrics_rows.append(
+                {
+                    "epoch": epoch,
+                    "popped": n_pop,
+                    "fetched": counters.get("fetched", 0),
+                    "done": counters.get("done", 0),
+                    "failed": counters.get("failed", 0),
+                    "retried": counters.get("retried", 0),
+                    "links_total": counters.get("links_total", 0),
+                    "links_candidates": counters.get("links_candidates", 0),
+                    "links_deduped_in_epoch": counters.get("links_deduped_in_epoch", 0),
+                    "links_new": pushed,
+                    "frontier_size": sum(sizes),
+                    "seen_size": sum(seen_sizes),
+                    "wall_sec": time.monotonic() - t_epoch,
+                }
+            )
+
+            if counters.get("stop_hit", 0):
+                stopping = True  # StopURL (lib/coordinator.go:358-366)
+            if cfg.stop_after_entries and self.done_total >= cfg.stop_after_entries:
+                stopping = True  # StopAfterEntries (SURVEY O4)
+            if stopping:
+                break
+            if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
+                self._checkpoint(epoch)
+            epoch += 1
+
+        self._checkpoint(epoch, final=True)
+        return self._finalize(time.monotonic() - t_start)
+
+    # -- checkpoint / resume ------------------------------------------
+
+    def _checkpoint(self, epoch: int, final: bool = False) -> None:
+        import ray
+
+        ck = os.path.join(self.ckpt_root, f"epoch-{epoch:05d}")
+        ray.get(
+            [f.checkpoint.remote(ck) for f in self.frontier]
+            + [s.checkpoint.remote(ck) for s in self.seen]
+        )
+        manifest = {
+            "epoch": epoch,
+            "vnow": self.vnow,
+            "seq_counter": self.seq_counter,
+            "done_total": self.done_total,
+            "n_frontier_shards": len(self.frontier),
+            "n_seen_shards": len(self.seen),
+            "final": final,
+            "metrics_rows": self.metrics_rows,
+        }
+        tmp = os.path.join(self.ckpt_root, "MANIFEST.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.ckpt_root, "MANIFEST.json"))
+
+    def _restore_checkpoint(self) -> bool:
+        import ray
+
+        path = os.path.join(self.ckpt_root, "MANIFEST.json")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            m = json.load(f)
+        ck = os.path.join(self.ckpt_root, f"epoch-{m['epoch']:05d}")
+        ray.get(
+            [f.restore.remote(ck) for f in self.frontier]
+            + [s.restore.remote(ck) for s in self.seen]
+        )
+        self.vnow = m["vnow"]
+        self.seq_counter = m["seq_counter"]
+        self.done_total = m["done_total"]
+        self.metrics_rows = list(m.get("metrics_rows", []))
+        self.epoch_restored = m["epoch"]
+        # drop partial outputs of epochs after the checkpoint
+        for d in glob.glob(os.path.join(self.resources_root, "epoch-*")):
+            if int(os.path.basename(d)[6:]) > m["epoch"]:
+                shutil.rmtree(d, ignore_errors=True)
+        for d in glob.glob(os.path.join(self.order_root, "epoch-*.parquet")):
+            if int(os.path.basename(d)[6:11]) > m["epoch"]:
+                os.remove(d)
+        return True
+
+    # -- finalize ------------------------------------------------------
+
+    def _finalize(self, wall_sec: float) -> dict:
+        import ray
+
+        from ..schema import METRICS
+        from .sitemap import build_and_write_sitemap
+
+        seen_tables = ray.get([s.dump.remote() for s in self.seen])
+        url_seen = pa.concat_tables([t for t in seen_tables if t.num_rows])\
+            if any(t.num_rows for t in seen_tables) else seen_tables[0]
+        url_seen = url_seen.sort_by("url")
+        pq.write_table(url_seen, os.path.join(self.workdir, "url_seen.parquet"))
+
+        if self.metrics_rows:
+            mt = pa.table(
+                {f.name: pa.array([r[f.name] for r in self.metrics_rows], f.type) for f in METRICS},
+                schema=METRICS,
+            )
+            pq.write_table(mt, os.path.join(self.workdir, "metrics.parquet"))
+
+        sitemap_path = os.path.join(self.workdir, "sitemap.json")
+        n_entries = build_and_write_sitemap(self.resources_root, sitemap_path)
+
+        seen_stats = ray.get([s.stats.remote() for s in self.seen])
+        return {
+            "workdir": self.workdir,
+            "resources_dir": self.resources_root,
+            "order_dir": self.order_root,
+            "url_seen_path": os.path.join(self.workdir, "url_seen.parquet"),
+            "sitemap_path": sitemap_path,
+            "sitemap_entries": n_entries,
+            "epochs": len(self.metrics_rows),
+            "done_total": self.done_total,
+            "seen_total": sum(s["entries"] for s in seen_stats),
+            "seen_stats": seen_stats,
+            "wall_sec": wall_sec,
+        }

@@ -1,0 +1,152 @@
+"""Page source: the graft's stand-in for live HTTP fetching.
+
+Walk fetches over HTTP (``/root/reference/lib/worker.go:79-117``); this
+engine draws pages from a Parquet table of Common-Crawl-style pages
+(driver input_hint). "Fetching" a URL = a point lookup against the
+pages table, honoring the HTTP-ish behaviors walk's tests rely on:
+
+- path resolution: ``http://h/`` and ``http://h`` hit the same page
+  (request keys are host+path+query, scheme- and fragment-insensitive),
+- misses return a 404 with body ``404 page not found\n`` (Go
+  ``http.FileServer`` behavior walk's httptest harness produces),
+- redirect rows (``pages_meta.redirect_to``) are followed up to 10
+  hops, each hop emitting a synthetic redirect resource
+  (``lib/worker.go:195-228``), the 11th failing the fetch.
+
+Scale shape: the table is hash-partitioned by request key once
+(`prepare_page_partitions`, a Ray Data job) and each partition is
+pinned in one ``PageStore`` actor; a fetch batch groups its URLs by
+partition and issues one RPC per touched partition. The ready-side is
+small relative to the pages table, so this is the broadcast-the-keys
+side of a partitioned hash join (SURVEY §2.4 J6) — no shuffle of page
+bodies ever happens.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..state.seen import url_hash64_batch
+
+__all__ = ["request_key", "prepare_page_partitions", "PageStore", "partition_of"]
+
+
+def request_key(url: str) -> str:
+    """HTTP-serving key of a URL: ``host[:port]`` + path (empty → /) +
+    ``?query``; scheme, fragment and userinfo ignored."""
+    try:
+        p = urlsplit(url)
+    except ValueError:
+        return url
+    netloc = p.netloc
+    if "@" in netloc:
+        netloc = netloc.rsplit("@", 1)[1]
+    return f"{netloc.lower()}{p.path or '/'}" + (f"?{p.query}" if p.query else "")
+
+
+def partition_of(urls: list[str], n_parts: int) -> np.ndarray:
+    keys = [request_key(u) for u in urls]
+    return (url_hash64_batch(keys) % np.uint64(n_parts)).astype(np.int64)
+
+
+def prepare_page_partitions(pages_path: str, meta_path: str, out_dir: str, n_parts: int) -> str:
+    """Hash-partition pages ⋈ meta by request key into
+    ``out_dir/part={k}/``. One-time Ray Data job, fingerprint-cached.
+    """
+    import ray.data as rd
+
+    stamp = os.path.join(out_dir, "DONE")
+    tag = f"{pages_path}|{meta_path}|{n_parts}"
+    if os.path.exists(stamp) and open(stamp).read() == tag:
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    # meta is narrow — broadcast it as a dict.
+    meta_t = pq.read_table(meta_path)
+    meta = {
+        u: (s, r, c)
+        for u, s, r, c in zip(
+            meta_t["url"].to_pylist(),
+            meta_t["status"].to_pylist(),
+            meta_t["redirect_to"].to_pylist(),
+            meta_t["content_type"].to_pylist(),
+        )
+    }
+    import ray
+
+    meta_ref = ray.put(meta)
+
+    class AddPart:
+        """Broadcast meta is fetched ONCE per actor (zero-copy plasma
+        read), not per batch."""
+
+        def __init__(self):
+            self.meta = ray.get(meta_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = self.meta
+            urls = batch["url"].to_pylist()
+            part = partition_of(urls, n_parts)
+            default = (200, "", "")
+            statuses = pa.array([m.get(u, default)[0] for u in urls], pa.int32())
+            redirects = pa.array([m.get(u, default)[1] for u in urls], pa.string())
+            ctypes = pa.array([m.get(u, default)[2] for u in urls], pa.string())
+            keys = pa.array([request_key(u) for u in urls], pa.string())
+            return (
+                batch.append_column("part", pa.array(part))
+                .append_column("status", statuses)
+                .append_column("redirect_to", redirects)
+                .append_column("content_type", ctypes)
+                .append_column("req_key", keys)
+            )
+
+    ds = rd.read_parquet(pages_path).map_batches(AddPart, batch_format="pyarrow", concurrency=(1, 4))
+    ds.write_parquet(out_dir, partition_cols=["part"])
+    with open(stamp, "w") as f:
+        f.write(tag)
+    return out_dir
+
+
+class PageStore:
+    """Actor holding one hash partition of the pages table, keyed by
+    request key. Load happens once in ``__init__`` (actor-pool rule)."""
+
+    def __init__(self, partition_dir: str, part_id: int):
+        self.part_id = part_id
+        self.pages: dict[str, tuple[int, str, bytes, int, str]] = {}
+        pattern = os.path.join(partition_dir, f"part={part_id}", "*.parquet")
+        for path in sorted(glob.glob(pattern)):
+            t = pq.read_table(
+                path, columns=["req_key", "status", "redirect_to", "html", "warc_ts", "content_type"]
+            )
+            ts = t["warc_ts"].cast(pa.int64()).to_pylist()
+            for k, s, r, h, tsu, c in zip(
+                t["req_key"].to_pylist(),
+                t["status"].to_pylist(),
+                t["redirect_to"].to_pylist(),
+                t["html"].to_pylist(),
+                ts,
+                t["content_type"].to_pylist(),
+            ):
+                self.pages[k] = (int(s), r or "", h or b"", tsu or 0, c or "")
+
+    def lookup(self, keys: list[str]) -> list[tuple[bool, int, str, bytes, int, str]]:
+        """Batch point lookup; (found, status, redirect_to, html, ts_us, content_type)."""
+        pages = self.pages
+        out = []
+        for k in keys:
+            row = pages.get(k)
+            if row is None:
+                out.append((False, 404, "", b"", 0, "text/plain; charset=utf-8"))
+            else:
+                out.append((True, row[0], row[1], row[2], row[3], row[4]))
+        return out
+
+    def size(self) -> int:
+        return len(self.pages)

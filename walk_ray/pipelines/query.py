@@ -1,0 +1,210 @@
+"""Offline query layer over crawl outputs — walk's read model
+re-expressed as small Dataset programs.
+
+- :func:`build_index` — CDXJ-style index sorted by SURT URL
+  (``/root/reference/lib/walk.go:20-22,130-152``,
+  ``lib/resource_handler.go:157-175``).
+- :func:`inbound_links` — ``walk inbound-links`` reverse semi-join
+  (``cmd/inbound_links.go:14-87``).
+- :func:`link_graph` — full inverted link graph (J5 generalization):
+  ``flat_map(links) → groupby(dst)``.
+- :func:`clean_sitemap` — ``walk clean`` filter + counts
+  (``cmd/clean.go:20-107``).
+- :func:`latest_capture` — Collection as-of lookup: latest resource
+  per URL at/before a time (``lib/collection.go:75-92``,
+  ``lib/walk.go:167-210``).
+- :func:`resolve_redirects` — iterative redirect-chain resolution,
+  ≤20 hops (``api/collection_handlers.go:164-187``).
+- :func:`timespan` — min/max capture timestamp (``lib/walk.go:66-76``).
+- :func:`union_walks` — Collection over several crawl roots
+  (``lib/collection.go:26-55``).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.canon import normalize_url, surt_key
+
+__all__ = [
+    "build_index",
+    "inbound_links",
+    "link_graph",
+    "clean_sitemap",
+    "latest_capture",
+    "resolve_redirects",
+    "timespan",
+    "union_walks",
+]
+
+
+def _read_resources(resources_dir, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(resources_dir, columns=columns)
+
+
+def build_index(resources_dir: str):
+    """Resources → index Dataset sorted by SURT url (global sort —
+    the only wide step; rows are narrow metadata)."""
+    ds = _read_resources(
+        resources_dir, columns=["url", "timestamp", "hash", "content_length", "status"]
+    )
+
+    def add_surt(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "surt_url", pa.array([surt_key(u) for u in batch["url"].to_pylist()], pa.string())
+        )
+
+    return ds.map_batches(add_surt, batch_format="pyarrow").sort("surt_url")
+
+
+def inbound_links(sitemap_or_resources, target_url: str):
+    """URLs of pages whose links contain the (normalized) target.
+
+    Accepts a resources dir or an already-loaded Dataset with
+    ``url``/``links`` columns. The scan is a vectorized flat_map +
+    filter, not walk's driver-side linear scan.
+    """
+    import ray.data as rd
+
+    ds = (
+        sitemap_or_resources
+        if hasattr(sitemap_or_resources, "map_batches")
+        else rd.read_parquet(sitemap_or_resources, columns=["url", "links"])
+    )
+    target = normalize_url(target_url)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        out = []
+        for u, links in zip(batch["url"].to_pylist(), batch["links"].to_pylist()):
+            if links and target in links:
+                out.append(u)
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def link_graph(resources_dir: str):
+    """Inverted link graph: (dst, list<src>) via flat_map + groupby."""
+    ds = _read_resources(resources_dir, columns=["url", "links"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs, dsts = [], []
+        for u, links in zip(batch["url"].to_pylist(), batch["links"].to_pylist()):
+            for l in links or []:
+                srcs.append(u)
+                dsts.append(l)
+        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+
+    def collect(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"dst": [g["dst"].iloc[0]], "srcs": [sorted(g["src"].unique().tolist())],
+             "n_inbound": [g["src"].nunique()]}
+        )
+
+    return (
+        ds.map_batches(edges, batch_format="pyarrow")
+        .groupby("dst")
+        .map_groups(collect, batch_format="pandas")
+    )
+
+
+def clean_sitemap(sitemap_path: str, out_path: str, remove_prefixes: list[str]) -> dict:
+    """walk clean: drop entries whose KEY starts with any prefix;
+    rewrite JSON; report counts (cmd/clean.go:39-95)."""
+    import json
+
+    with open(sitemap_path) as f:
+        sm = json.load(f)
+    total = len(sm)
+    kept = {
+        k: v for k, v in sm.items() if not any(k.startswith(p) for p in remove_prefixes)
+    }
+    from .sitemap import write_sitemap_json
+
+    entries = []
+    for k in sorted(kept):
+        v = kept[k]
+        from datetime import datetime, timezone
+
+        ts = datetime.fromisoformat(v["timestamp"].replace("Z", "+00:00"))
+        entries.append(
+            {
+                "key": k,
+                "url": v["url"],
+                "title": v.get("title", ""),
+                "timestamp": int(ts.timestamp() * 1_000_000),
+                "status": v.get("status", 0),
+                "links": v.get("links"),
+            }
+        )
+    write_sitemap_json(entries, out_path)
+    return {"total": total, "removed": total - len(kept), "kept": len(kept)}
+
+
+def latest_capture(resources_dirs, at=None):
+    """As-of join J3: per URL, the resource with max timestamp ≤ ``at``
+    (None = latest overall) across one or more walks."""
+    ds = union_walks(resources_dirs)
+    if at is not None:
+        at64 = pa.scalar(at, pa.timestamp("us"))
+
+        def cut(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.less_equal(batch["timestamp"], at64))
+
+        ds = ds.map_batches(cut, batch_format="pyarrow")
+
+    def argmax_ts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["timestamp", "epoch", "seq"])
+        return g.tail(1)
+
+    return ds.groupby("url").map_groups(argmax_ts, batch_format="pandas")
+
+
+def resolve_redirects(resources_dir: str, url: str, max_hops: int = 20) -> str:
+    """Follow recorded RedirectTo links ≤20 hops
+    (api/collection_handlers.go:164-187). Point query: loads only the
+    redirect edges (two narrow columns)."""
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(resources_dir, columns=["url", "redirect_to", "is_hop"])
+    edges = {
+        u: r
+        for u, r, h in zip(
+            t["url"].to_pylist(), t["redirect_to"].to_pylist(), t["is_hop"].to_pylist()
+        )
+        if h and r
+    }
+    cur = normalize_url(url)
+    for _ in range(max_hops):
+        nxt = edges.get(cur)
+        if not nxt:
+            return cur
+        cur = nxt
+    return cur
+
+
+def timespan(resources_dir: str) -> tuple:
+    """Walk timespan A4 (lib/walk.go:66-76)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read_resources(resources_dir, columns=["timestamp"])
+    row = ds.aggregate(Min("timestamp"), Max("timestamp"))
+    return row["min(timestamp)"], row["max(timestamp)"]
+
+
+def union_walks(resources_dirs):
+    """Collection reader S5/D5: union of several crawl outputs."""
+    import ray.data as rd
+
+    if isinstance(resources_dirs, str):
+        resources_dirs = [resources_dirs]
+    parts = [rd.read_parquet(d) for d in resources_dirs]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+    return ds

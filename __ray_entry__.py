@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the walk_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` maps every implemented operator/pipeline from SURVEY.md
+§2 (plus the training-data-pipeline additions) to a callable over an
+``sf_dir``; ``oracle_sql()`` gives the DuckDB-equivalent SQL where the
+semantics are SQL-expressible (the rest get rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init`` / ``ray.shutdown`` happens here or anywhere downstream.
+
+Column names in each Ray result match its oracle SQL exactly.
 """
 
 from __future__ import annotations
@@ -18,27 +16,253 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# Query-tuning constants shared between the Ray pipelines and the SQL
+# oracles (thresholds chosen against the synthetic data distributions).
+COSINE_THRESHOLD = 0.4
+JACCARD_THRESHOLD = 0.9
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 10
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: the docs_graph crawl at sf0.001 → sitemap entries."""
+    from walk_ray.pipelines.crawl_queries import crawl_sitemap_entries
+
+    return crawl_sitemap_entries("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from walk_ray.pipelines import crawl_queries as cq
+    from walk_ray.pipelines import dedup, multimodal, relational, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- crawl engine (docs_graph pages derived from documents) ---
+        "crawl_url_seen": cq.crawl_url_seen,
+        "crawl_sitemap_entries": cq.crawl_sitemap_entries,
+        "crawl_extract_text": cq.crawl_extract_text,
+        "crawl_index_surt": cq.crawl_index_surt,
+        "crawl_inbound_links": cq.crawl_inbound_links,
+        "crawl_order": cq.crawl_order,  # rows-only (engine-defined order)
+        # --- relational / streaming ---
+        "pricing_summary": relational.pricing_summary,
+        "orders_by_nation": relational.orders_by_nation,
+        "top_parts_by_revenue": relational.top_parts_by_revenue,
+        "events_tumbling_window": relational.events_tumbling_window,
+        "events_sessionize": relational.events_sessionize,
+        "latest_event_per_user": relational.latest_event_per_user,
+        # --- text analysis ---
+        "token_stats": text.token_stats,
+        "quality_scores": text.quality_scores,
+        "lang_id": text.lang_id,
+        "text_fingerprint": text.text_fingerprint,
+        # --- dedup ---
+        "exact_dedup": dedup.exact_dedup,
+        "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, n=1, threshold=JACCARD_THRESHOLD, exact=True
+        ),
+        "embedding_cosine_pairs": lambda sf: dedup.embedding_cosine_pairs(
+            sf, threshold=COSINE_THRESHOLD
+        ),
+        "minhash_lsh_dedup": lambda sf: dedup.minhash_lsh_dedup(
+            sf, ngram=1, threshold=JACCARD_THRESHOLD
+        ),  # rows-only (LSH is approximate)
+        "simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),  # rows-only
+        "embedding_dedup": lambda sf: dedup.embedding_dedup(
+            sf, threshold=COSINE_THRESHOLD
+        ),  # rows-only (cluster labels)
+        # --- similarity search ---
+        "ann_brute_topk": lambda sf: similarity.ann_brute_topk(sf, ANN_QUERY_IDS, ANN_K),
+        "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(sf, ANN_QUERY_IDS, ANN_K),  # rows-only
+        # --- multimodal plumbing (synthetic media, fake decoder) ---
+        "media_features": lambda sf: multimodal.media_features(sf),  # rows-only
+    }
+
+
+# Shared recursive-CTE prefix: the docs_graph reachable set
+# (doc i links to (2i+1) mod N and (3i+7) mod N, seed = 0) — the SQL
+# twin of the crawl's frontier fixed point.
+_REACH = """
+WITH RECURSIVE reach(i) AS (
+    SELECT CAST(0 AS BIGINT)
+    UNION
+    SELECT CAST((m.f1 * r.i + m.f2) % (SELECT count(*) FROM documents) AS BIGINT)
+    FROM reach r, (VALUES (2, 1), (3, 7)) m(f1, f2)
+)
+"""
+
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+_STOPLIST = "('the', 'a', 'of', 'and', 'to')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    n_docs = "(SELECT count(*) FROM documents)"
+    return {
+        "crawl_url_seen": _REACH + f"""
+            SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS url,
+                   CAST(4 AS UTINYINT) AS status,
+                   CAST(1 AS INTEGER) AS attempts,
+                   CAST(200 AS INTEGER) AS prev_status
+            FROM reach""",
+        "crawl_sitemap_entries": _REACH + f"""
+            SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS key,
+                   'http://docs.test/doc/' || CAST(i AS VARCHAR) AS url,
+                   'Doc ' || CAST(i AS VARCHAR) AS title,
+                   CAST(200 AS INTEGER) AS status,
+                   CAST(CASE WHEN (2*i+1) % {n_docs} = (3*i+7) % {n_docs}
+                        THEN 1 ELSE 2 END AS BIGINT) AS n_links
+            FROM reach""",
+        "crawl_extract_text": _REACH + f"""
+            SELECT 'http://docs.test/doc/' || CAST(d.doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(d.doc_id AS VARCHAR) AS title,
+                   'Doc ' || CAST(d.doc_id AS VARCHAR) || ' Doc ' || CAST(d.doc_id AS VARCHAR)
+                   || ' ' || regexp_replace(trim(d.text), '\\s+', ' ', 'g')
+                   || ' next ' || CAST((2*d.doc_id+1) % {n_docs} AS VARCHAR)
+                   || ' jump ' || CAST((3*d.doc_id+7) % {n_docs} AS VARCHAR) AS text
+            FROM documents d JOIN reach r ON r.i = d.doc_id""",
+        "crawl_index_surt": _REACH + """
+            SELECT 'test,docs)/doc/' || CAST(i AS VARCHAR) AS surt_url,
+                   'http://docs.test/doc/' || CAST(i AS VARCHAR) AS url,
+                   CAST(200 AS INTEGER) AS status
+            FROM reach""",
+        "crawl_inbound_links": _REACH + f"""
+            SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS url
+            FROM reach
+            WHERE (2*i+1) % {n_docs} = 0 OR (3*i+7) % {n_docs} = 0""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 4) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "top_parts_by_revenue": """
+            SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+            FROM lineitem GROUP BY l_partkey
+            ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, l_partkey
+            LIMIT 20""",
+        "events_tumbling_window": """
+            SELECT event_type,
+                   CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY event_type, window_start""",
+        "events_sessionize": """
+            WITH ordered AS (
+                SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, value,
+                       LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL OR ts_sec - prev_ts > 1800
+                               THEN 1 ELSE 0 END AS new_session
+                FROM ordered
+            ), sessions AS (
+                SELECT *, SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts_sec
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id,
+                   MIN(ts_sec) AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM sessions GROUP BY user_id, session_id""",
+        "latest_event_per_user": """
+            SELECT user_id, event_id, event_type, value FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1""",
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_WORDS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpe_tokens
+            FROM documents""",
+        "quality_scores": f"""
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len({_WORDS}) AS BIGINT) AS n_words,
+                       CAST(len(list_filter({_WORDS},
+                            w -> w IN {_STOPLIST})) AS BIGINT) AS n_stopwords,
+                       CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+                           AS total_wlen
+                FROM documents
+            )
+            SELECT doc_id, n_chars, n_words, n_stopwords,
+                   ROUND(CAST(total_wlen AS DOUBLE) / GREATEST(n_words, 1), 6)
+                       AS mean_word_len,
+                   ROUND(CAST(n_stopwords AS DOUBLE) / GREATEST(n_words, 1), 6)
+                       AS stop_ratio,
+                   ROUND(LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)
+                         * (1 - ROUND(CAST(n_stopwords AS DOUBLE)
+                                      / GREATEST(n_words, 1), 6)), 6) AS quality
+            FROM base""",
+        "lang_id": f"""
+            WITH counts AS (
+                SELECT doc_id,
+                       len(list_filter({_WORDS}, w -> w IN ('the','a','and'))) AS c_en,
+                       len(list_filter({_WORDS}, w -> w IN ('der','die','und'))) AS c_de,
+                       len(list_filter({_WORDS}, w -> w IN ('el','la','los'))) AS c_es,
+                       len(list_filter({_WORDS}, w -> w IN ('le','les','des'))) AS c_fr
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN c_fr > GREATEST(c_en, c_de, c_es) THEN 'fr'
+                        WHEN c_es > GREATEST(c_en, c_de) THEN 'es'
+                        WHEN c_de > c_en THEN 'de'
+                        ELSE 'en' END AS pred_lang
+            FROM counts""",
+        "text_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   MIN(doc_id) AS doc_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY md5(text)""",
+        "unigram_jaccard_pairs": f"""
+            WITH grams AS (
+                SELECT doc_id, list_distinct({_WORDS}) AS g FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+                FROM grams a, grams b WHERE a.doc_id < b.doc_id
+            )
+            SELECT a, b, ROUND(j, 6) AS jaccard
+            FROM pairs WHERE j >= {JACCARD_THRESHOLD}""",
+        "embedding_cosine_pairs": f"""
+            WITH pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS c
+                FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+            )
+            SELECT a, b, ROUND(c, 6) AS cosine
+            FROM pairs WHERE c >= {COSINE_THRESHOLD}""",
+        "ann_brute_topk": f"""
+            WITH q AS (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})
+            ), sims AS (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+            )
+            SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+                   CAST(rn AS BIGINT) AS rank
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+                FROM sims
+            ) WHERE rn <= {ANN_K}""",
+    }

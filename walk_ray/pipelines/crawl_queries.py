@@ -1,0 +1,129 @@
+"""Crawl-derived queries over the docs_graph pages table.
+
+``docs_graph`` derives a pages table 1:1 from ``documents.parquet``
+(``walk_ray.sources.testgen.build_docs_graph``): doc ``i`` links to
+``(2i+1) mod N`` and ``(3i+7) mod N``, seed = doc 0. That makes the
+whole crawl SQL-checkable: the reachable set is a recursive CTE over
+the same arithmetic, titles/text/links are string expressions of
+``documents`` — so the URL-seen set, sitemap, SURT index, inbound
+links AND the byte-identical extracted text all get DuckDB oracles.
+
+The crawl runs once per ``sf_dir`` and is cached on disk (it is fully
+deterministic); every query here reads the cached outputs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+__all__ = [
+    "docs_crawl",
+    "crawl_url_seen",
+    "crawl_sitemap_entries",
+    "crawl_extract_text",
+    "crawl_index_surt",
+    "crawl_inbound_links",
+    "crawl_order",
+]
+
+_CACHE: dict[str, dict] = {}
+
+
+def docs_crawl(sf_dir: str) -> dict:
+    """Run (or reuse) the deterministic docs_graph crawl for sf_dir."""
+    if sf_dir in _CACHE:
+        return _CACHE[sf_dir]
+    from ..pipelines.crawl import CrawlConfig, CrawlJob
+    from ..sources.testgen import generate_pages
+
+    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    base = f"/tmp/walk_ray_runs/docs_graph_{tag}"
+    gen = generate_pages("docs_graph", os.path.join(base, "gen"), sf_dir=sf_dir)
+    run_dir = os.path.join(base, "run")
+    marker = os.path.join(run_dir, "url_seen.parquet")
+    sitemap = os.path.join(run_dir, "sitemap.json")
+    if os.path.exists(marker) and os.path.exists(sitemap):
+        result = {
+            "workdir": run_dir,
+            "resources_dir": os.path.join(run_dir, "resources"),
+            "order_dir": os.path.join(run_dir, "order"),
+            "url_seen_path": marker,
+            "sitemap_path": sitemap,
+        }
+    else:
+        cfg = CrawlConfig.from_job_json(gen["job"], n_frontier_shards=4, n_seen_shards=4,
+                                        n_page_parts=4)
+        job = CrawlJob(cfg, gen["pages"], gen["pages_meta"], run_dir)
+        result = job.run()
+    _CACHE[sf_dir] = result
+    return result
+
+
+def crawl_url_seen(sf_dir: str):
+    """Final request-store contents (url, status, attempts,
+    prev_status) — the URL-seen conformance golden."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(docs_crawl(sf_dir)["url_seen_path"])
+
+
+def crawl_sitemap_entries(sf_dir: str):
+    """Sitemap as a table: (key, url, title, status, n_links)."""
+    import json
+
+    with open(docs_crawl(sf_dir)["sitemap_path"]) as f:
+        sm = json.load(f)
+    rows = {
+        "key": list(sm.keys()),
+        "url": [e["url"] for e in sm.values()],
+        "title": [e["title"] for e in sm.values()],
+        "status": [int(e["status"]) for e in sm.values()],
+        "n_links": [len(e["links"] or []) for e in sm.values()],
+    }
+    return pd.DataFrame(rows)
+
+
+def crawl_extract_text(sf_dir: str):
+    """The per-row invariant surface: (url, title, text) as extracted
+    by the pipeline from raw HTML."""
+    import ray.data as rd
+
+    res = docs_crawl(sf_dir)
+    ds = rd.read_parquet(res["resources_dir"], columns=["url", "title", "text", "is_hop"])
+
+    def keep(batch):
+        batch = batch.filter(batch["is_hop"].to_pandas().eq(False).values) if hasattr(batch, "filter") else batch
+        return batch
+
+    df = ds.to_pandas()
+    df = df[~df["is_hop"]][["url", "title", "text"]].reset_index(drop=True)
+    return df
+
+
+def crawl_index_surt(sf_dir: str):
+    """SURT index projection (surt_url, url, status)."""
+    from .query import build_index
+
+    res = docs_crawl(sf_dir)
+    df = build_index(res["resources_dir"]).to_pandas()
+    return df[["surt_url", "url", "status"]]
+
+
+def crawl_inbound_links(sf_dir: str, target: str = "http://docs.test/doc/0"):
+    """Pages whose links include the target (J5 over the crawl)."""
+    from .query import inbound_links
+
+    res = docs_crawl(sf_dir)
+    return inbound_links(res["resources_dir"], target)
+
+
+def crawl_order(sf_dir: str):
+    """Canonical crawl linearization (epoch, seq, url) — rows-only
+    check (ordering is this engine's defined semantics, SURVEY §2.9)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(docs_crawl(sf_dir)["order_dir"])
+    return t.sort_by([("epoch", "ascending"), ("seq", "ascending")]).select(["epoch", "seq", "url"])

@@ -1,0 +1,212 @@
+"""Relational / streaming-shaped operators over the TPC-H-ish testdata
+tables — the generic query capabilities of the engine (grouped
+aggregates with partial pre-aggregation, broadcast joins, windowed and
+sessionized event analytics, as-of lookups).
+
+Column names are chosen to match the DuckDB oracle SQL exactly
+(driver compare is name-sensitive).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = [
+    "pricing_summary",
+    "orders_by_nation",
+    "events_tumbling_window",
+    "events_sessionize",
+    "latest_event_per_user",
+    "top_parts_by_revenue",
+]
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape: lineitem grouped pricing summary.
+
+    Pre-aggregates inside map_batches (partials per batch), then a
+    small groupby over partials — the shuffle moves one row per
+    (flag, status) per batch instead of every lineitem row.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_base_price=("l_extendedprice", "sum"),
+                sum_revenue=("revenue", "sum"),
+                count_order=("l_quantity", "size"),
+            )
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price", alias_name="sum_base_price"),
+            Sum("sum_revenue", alias_name="sum_revenue"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+
+    def round_cols(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ("sum_qty", "sum_base_price", "sum_revenue"):
+            batch[c] = batch[c].round(4)
+        batch["count_order"] = batch["count_order"].astype("int64")
+        return batch
+
+    return out.map_batches(round_cols, batch_format="pandas")
+
+
+def orders_by_nation(sf_dir: str):
+    """Broadcast join: orders ⋈ customer ⋈ nation (dimension sides are
+    small → ``ray.put`` once, dict-merge per batch; no shuffle join)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    ref = ray.put((cust_map, nation_map))
+
+    from ray.data.aggregate import Count, Sum
+
+    class AddNation:
+        def __init__(self):
+            self._loaded = False
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not self._loaded:
+                self.cust_map, self.nation_map = ray.get(ref)
+                self._loaded = True
+            nk = batch["o_custkey"].map(self.cust_map)
+            batch["n_name"] = nk.map(self.nation_map)
+            return batch[["n_name", "o_totalprice"]]
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(AddNation(), batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_price"] = batch["total_price"].round(4)
+        batch["n_orders"] = batch["n_orders"].astype("int64")
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def events_tumbling_window(sf_dir: str, window_sec: int = 3600):
+    """Streaming-shaped tumbling window: count + sum(value) per
+    (event_type, hour window). Window id computed vectorized per
+    batch; the groupby shuffles only (type, window) partials."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(secs, pa.float64()), window_sec)), window_sec)
+        return batch.append_column("window_start", pc.cast(win, pa.int64()))
+
+    out = (
+        ds.map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = batch["sum_value"].round(4)
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def events_sessionize(sf_dir: str, gap_sec: int = 1800):
+    """Session windows per user: a new session starts when the gap
+    from the previous event exceeds ``gap_sec``. Partitioned by
+    user_id (groupby shuffle), sessions computed per sorted group —
+    the documented ordering assumption for stream-shaped inputs."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64") // 1_000_000
+        new_session = (ts.diff().fillna(gap_sec + 1) > gap_sec).astype(int)
+        sid = new_session.cumsum()
+        agg = g.assign(session=sid.values, ts_sec=ts.values).groupby("session")
+        out = pd.DataFrame(
+            {
+                "user_id": g["user_id"].iloc[0],
+                "session_start": agg["ts_sec"].min(),
+                "n_events": agg.size(),
+                "sum_value": agg["value"].sum().round(4),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def latest_event_per_user(sf_dir: str):
+    """As-of-style lookup (J3 analog on the events log): each user's
+    latest event (max ts; ties broken by max event_id)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return g.tail(1)[["user_id", "event_id", "event_type", "value"]]
+
+    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+
+
+def top_parts_by_revenue(sf_dir: str, k: int = 20):
+    """Top-k: revenue per part over lineitem, global top-k via
+    aggregate → sort → limit (the top-k result is tiny)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_partkey": batch["l_partkey"], "revenue": r})
+
+    out = (
+        ds.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .sort(["revenue", "l_partkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["revenue"] = batch["revenue"].round(4)
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")

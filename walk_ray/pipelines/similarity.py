@@ -1,0 +1,171 @@
+"""Similarity search over an ``embeddings``-shaped table
+(``vec_id, embedding: list<float>, label``).
+
+- :func:`ann_brute_topk` — exact top-k cosine: the query matrix is
+  broadcast once (``ray.put``), every data batch does one numpy
+  matmul against it and emits per-batch partial top-k; partials merge
+  in a final tiny reduction. This is the exactness baseline AND the
+  standard distributed brute-force shape (scales linearly in data,
+  constant in queries).
+- :func:`ann_ivf_topk` — IVF variant: deterministic k-means coarse
+  centroids (seeded, few Lloyd iterations on a driver-side sample),
+  inverted-list assignment as a Dataset column, probe ``nprobe``
+  nearest lists per query. The scale path: only ~nprobe/nlist of the
+  data is scanned per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+__all__ = ["ann_brute_topk", "ann_ivf_topk", "kmeans_fit"]
+
+
+def _load_matrix(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms, mat
+
+
+def ann_brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10):
+    """Exact cosine top-k for each query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank) with rank 1..k,
+    ties broken by neighbor_id; the query itself is excluded.
+    """
+    import ray
+    import ray.data as rd
+
+    query_ids = query_ids if query_ids is not None else list(range(10))
+    ids, norm_mat, _ = _load_matrix(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    q_mat = norm_mat[[pos[q] for q in query_ids]]  # (Q, D)
+    q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat))
+
+    class PartialTopK:
+        def __init__(self):
+            self._loaded = False
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not self._loaded:
+                self.q_ids, self.q = ray.get(q_ref)
+                self._loaded = True
+            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+            sims = self.q @ vecs.T  # (Q, B)
+            vids = batch["vec_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            kk = min(k + 1, sims.shape[1])
+            for qi, row in enumerate(sims):
+                top = np.argpartition(-row, kk - 1)[:kk]
+                for j in top:
+                    nid = int(vids[j])
+                    if nid == int(self.q_ids[qi]):
+                        continue
+                    out["query_id"].append(int(self.q_ids[qi]))
+                    out["neighbor_id"].append(nid)
+                    out["cosine"].append(float(row[j]))
+            return pd.DataFrame(out)
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(PartialTopK(), batch_format="pandas", batch_size=2048)
+        .to_pandas()
+    )
+    # final merge: tiny (Q × k × n_batches rows)
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", group_keys=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = out["cosine"].round(6)
+    return rd.from_pandas(out.reset_index(drop=True))
+
+
+def kmeans_fit(mat: np.ndarray, n_clusters: int, seed: int = 11, iters: int = 10) -> np.ndarray:
+    """Small deterministic Lloyd's k-means (numpy, driver-side) for the
+    IVF coarse quantizer. Input rows should be L2-normalized."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(mat), size=n_clusters, replace=False)
+    centroids = mat[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        for c in range(n_clusters):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    centroids[c] = v / n
+    return centroids
+
+
+def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+                 nlist: int = 16, nprobe: int = 4, sample: int = 4096, seed: int = 11):
+    """IVF-flat approximate top-k: scan only the ``nprobe`` closest
+    inverted lists per query. Returns (query_id, neighbor_id, cosine,
+    rank) like the brute baseline (approximate recall)."""
+    import ray
+    import ray.data as rd
+
+    query_ids = query_ids if query_ids is not None else list(range(10))
+    ids, norm_mat, _ = _load_matrix(sf_dir)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    train = norm_mat[: min(sample, len(norm_mat))]
+    centroids = kmeans_fit(train, min(nlist, len(train)), seed=seed)
+    q_mat = norm_mat[[pos[q] for q in query_ids]]
+    probe_lists = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat, centroids, probe_lists))
+
+    class ProbeTopK:
+        def __init__(self):
+            self._loaded = False
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if not self._loaded:
+                self.q_ids, self.q, self.centroids, self.probes = ray.get(ref)
+                self.probe_sets = [set(p.tolist()) for p in self.probes]
+                self._loaded = True
+            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+            assign = np.argmax(vecs @ self.centroids.T, axis=1)  # inverted-list id
+            vids = batch["vec_id"].to_numpy()
+            out = {"query_id": [], "neighbor_id": [], "cosine": []}
+            sims = self.q @ vecs.T
+            for qi in range(len(self.q_ids)):
+                mask = np.fromiter((a in self.probe_sets[qi] for a in assign), bool, len(assign))
+                mask &= vids != int(self.q_ids[qi])
+                cand = np.nonzero(mask)[0]
+                if not len(cand):
+                    continue
+                row = sims[qi, cand]
+                kk = min(k, len(cand))
+                top = cand[np.argpartition(-row, kk - 1)[:kk]]
+                for j in top:
+                    out["query_id"].append(int(self.q_ids[qi]))
+                    out["neighbor_id"].append(int(vids[j]))
+                    out["cosine"].append(float(sims[qi, j]))
+            return pd.DataFrame(out)
+
+    partials = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(ProbeTopK(), batch_format="pandas", batch_size=2048)
+        .to_pandas()
+    )
+    partials = partials.sort_values(
+        ["query_id", "cosine", "neighbor_id"], ascending=[True, False, True]
+    )
+    out = partials.groupby("query_id", group_keys=False).head(k).copy()
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    out["cosine"] = out["cosine"].round(6)
+    return rd.from_pandas(out.reset_index(drop=True))

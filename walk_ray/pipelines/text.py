@@ -1,0 +1,138 @@
+"""Text-analysis operators over a ``documents``-shaped table
+(``doc_id, text, lang, source, n_chars``) — the large-scale
+training-data-pipeline additions (token counting, quality scoring,
+language ID, fingerprinting).
+
+Every operator is a vectorized ``map_batches`` Dataset program whose
+semantics are deliberately SQL-expressible, so each has a DuckDB
+oracle in ``__ray_entry__.oracle_sql`` (the correctness gate).
+
+Heuristics are deterministic and documented inline; they make no claim
+of linguistic accuracy — they are the *shape* of a language-ID /
+quality stage (stateful setup in ``__init__``, vectorized per batch)
+with exactly reproducible outputs.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+__all__ = [
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "text_fingerprint",
+    "STOPWORDS",
+    "LANG_MARKERS",
+]
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+# marker words per language, checked in priority order (ties → earlier)
+LANG_MARKERS = [
+    ("en", ("the", "a", "and")),
+    ("de", ("der", "die", "und")),
+    ("es", ("el", "la", "los")),
+    ("fr", ("le", "les", "des")),
+]
+
+_BPE_ISH = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+
+
+def _docs(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def token_stats(sf_dir: str):
+    """Per-doc token counts: whitespace tokens and a BPE-ish regex
+    tokenization (word pieces + single punctuation marks)."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ws_tokens": texts.str.strip().str.split().map(len).astype("int64"),
+                "n_bpe_tokens": texts.map(lambda t: len(_BPE_ISH.findall(t))).astype("int64"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
+
+
+def quality_scores(sf_dir: str):
+    """Quality heuristics: length, word count, mean word length,
+    stopword ratio, and a clamped linear score
+    ``least(1, n_words/100) * (1 - stop_ratio)`` rounded to 6 dp."""
+
+    class Scorer:
+        def __init__(self):
+            self.stop = set(STOPWORDS)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch["text"].fillna("")
+            words = texts.str.split()
+            n_words = words.map(len).astype("int64")
+            stop = self.stop
+            n_stop = words.map(lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
+            total_wlen = words.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+            stop_ratio = (n_stop / n_words.clip(lower=1)).round(6)
+            score = ((n_words / 100).clip(upper=1.0) * (1 - stop_ratio)).round(6)
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "n_chars": texts.str.len().astype("int64"),
+                    "n_words": n_words,
+                    "n_stopwords": n_stop,
+                    "mean_word_len": (total_wlen / n_words.clip(lower=1)).round(6),
+                    "stop_ratio": stop_ratio,
+                    "quality": score,
+                }
+            )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(Scorer(), batch_format="pandas")
+
+
+def lang_id(sf_dir: str):
+    """Marker-word language ID: count marker hits per language, predict
+    the argmax (priority order breaks ties), default ``en``."""
+
+    class LangId:
+        def __init__(self):
+            self.markers = [(lang, set(ms)) for lang, ms in LANG_MARKERS]
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            preds = []
+            for text in batch["text"].fillna(""):
+                words = text.split()
+                best_lang, best_n = "en", -1
+                for lang, ms in self.markers:
+                    n = sum(1 for w in words if w in ms)
+                    if n > best_n:
+                        best_lang, best_n = lang, n
+                preds.append(best_lang)
+            return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": preds})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(LangId(), batch_format="pandas")
+
+
+def text_fingerprint(sf_dir: str):
+    """Content fingerprint: md5 of the exact text bytes (D4-style
+    content addressing re-used for documents)."""
+    import hashlib
+
+    def fp(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"],
+                "fp_md5": [
+                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].fillna("")
+                ],
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pandas")

@@ -1,0 +1,172 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): **URLs fetched+deduped/sec** — a full
+crawl of a deterministic synthetic web graph (Zipf host skew, spanning
+chain) through the frontier/seen/fetch/extract/sitemap engine.
+Secondary: representative operator pipelines over ``$GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``).
+
+Usage:
+    python bench.py              # one JSON line on stdout
+    python bench.py --scaling    # run at 8 and 32 CPUs in fresh
+                                 # processes; report both + efficiency
+
+Env:
+    RAY_GRAFT_CPUS  parallelism level (default 32)
+    GRAFT_SF_DIR    testdata dir (default /root/testdata/sf0.1)
+    BENCH_HOSTS / BENCH_PAGES_PER_HOST  crawl graph size
+                    (default 100 x 300 = 30k pages)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+HOSTS = int(os.environ.get("BENCH_HOSTS", "100"))
+PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "300"))
+
+
+def _bench_crawl() -> dict:
+    """Headline: crawl the bench web graph; urls fetched+deduped/sec."""
+    from walk_ray.pipelines.crawl import CrawlConfig, CrawlJob
+    from walk_ray.sources.testgen import generate_pages
+
+    gen_dir = f"/tmp/walk_ray_bench/gen_h{HOSTS}_p{PAGES_PER_HOST}"
+    gen = generate_pages("bench", gen_dir, hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=42)
+
+    workdir = f"/tmp/walk_ray_bench/run_{NUM_CPUS}_{time.monotonic_ns()}"
+    cfg = CrawlConfig.from_job_json(
+        gen["job"],
+        n_frontier_shards=8,
+        n_seen_shards=8,
+        n_page_parts=max(4, NUM_CPUS // 4),
+        fetch_batch_size=2048,
+    )
+    job = CrawlJob(cfg, gen["pages"], gen["pages_meta"], workdir)
+    t0 = time.monotonic()
+    res = job.run()
+    wall = time.monotonic() - t0
+    # fetched+deduped = pages fetched + candidate links deduped
+    import pyarrow.parquet as pq
+
+    mt = pq.read_table(os.path.join(workdir, "metrics.parquet")).to_pandas()
+    deduped = int(mt["links_deduped_in_epoch"].sum())
+    fetched = int(mt["fetched"].sum())
+    return {
+        "crawl_sec": round(wall, 3),
+        "pages": HOSTS * PAGES_PER_HOST,
+        "fetched": fetched,
+        "deduped_candidates": deduped,
+        "done": res["done_total"],
+        "epochs": res["epochs"],
+        "urls_per_sec": round((fetched + deduped) / wall, 1),
+    }
+
+
+def _bench_queries() -> dict:
+    """Secondary: representative operators over the sf tables."""
+    from walk_ray.pipelines import dedup, relational, similarity, text
+
+    timings = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        r = fn()
+        if hasattr(r, "to_pandas"):
+            r = r.to_pandas()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    run("pricing_summary", lambda: relational.pricing_summary(SF_DIR))
+    run("orders_by_nation", lambda: relational.orders_by_nation(SF_DIR))
+    run("events_tumbling_window", lambda: relational.events_tumbling_window(SF_DIR))
+    run("events_sessionize", lambda: relational.events_sessionize(SF_DIR))
+    run("top_parts_by_revenue", lambda: relational.top_parts_by_revenue(SF_DIR))
+    run("token_stats", lambda: text.token_stats(SF_DIR))
+    run("quality_scores", lambda: text.quality_scores(SF_DIR))
+    run("exact_dedup", lambda: dedup.exact_dedup(SF_DIR))
+    run("minhash_lsh_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR, ngram=3, threshold=0.5))
+    run("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))
+    run("embedding_cosine_pairs", lambda: dedup.embedding_cosine_pairs(SF_DIR, threshold=0.4))
+    run("ann_brute_topk", lambda: similarity.ann_brute_topk(SF_DIR))
+    run("ann_ivf_topk", lambda: similarity.ann_ivf_topk(SF_DIR))
+    return timings
+
+
+def run_once() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    t0 = time.monotonic()
+    crawl = _bench_crawl()
+    queries = _bench_queries()
+    total = time.monotonic() - t0
+    out = {
+        "metric": "URLs fetched+deduped/sec (bench web graph crawl); secondary per-op secs",
+        "value": round(total, 3),
+        "unit": "sec",
+        "urls_per_sec": crawl["urls_per_sec"],
+        "crawl": crawl,
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes (the sandbox
+    stand-in for N→4N nodes, per BASELINE.md)."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tp_lo = r_lo["urls_per_sec"]
+    tp_hi = r_hi["urls_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    return {
+        "metric": "crawl throughput scaling efficiency (8 → 32 CPUs)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "urls_per_sec_8": tp_lo,
+        "urls_per_sec_32": tp_hi,
+        "crawl_sec_8": r_lo["crawl"]["crawl_sec"],
+        "crawl_sec_32": r_hi["crawl"]["crawl_sec"],
+        "queries": {"bench_8": r_lo["value"], "bench_32": r_hi["value"]},
+        "sf": SF_DIR,
+        "num_cpus": hi,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_once()))

@@ -90,6 +90,9 @@ class CrawlConfig:
     max_pop_per_epoch: int = 500_000
     horizon_sec: float = 3600.0
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = final only
+    # candidate sets up to this size are min-reduced on the driver
+    # (narrow url+int rows); larger epochs use the distributed groupby
+    driver_dedup_threshold: int = 2_000_000
 
     @classmethod
     def from_job_json(cls, job: dict, **overrides) -> "CrawlConfig":
@@ -462,22 +465,35 @@ class CrawlJob:
             self.commit_stage.resources_dir = res_dir
             self.push_stage.next_epoch = epoch + 1
             self.push_stage.stopping = stopping
+            # pre-chunked blocks (no repartition pass needed)
             n_blocks = max(1, min(64, n_pop // cfg.fetch_batch_size + 1))
-            ds = rd.from_arrow(pop_table)
-            if n_blocks > 1:
-                ds = ds.repartition(n_blocks)
+            step = (n_pop + n_blocks - 1) // n_blocks
+            chunks = [pop_table.slice(i, step) for i in range(0, n_pop, step)]
+            ds = rd.from_arrow(chunks)
             ds = ds.map_batches(self.fetch_stage, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
             ds = ds.map_batches(extract_resources, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
             ds = ds.map_batches(self.commit_stage, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
-            # deterministic first-discovery attribution: the epoch's one
-            # (narrow) shuffle — urls + int keys only
-            ds = ds.groupby("url").min("disc")
-            ds = ds.map_batches(self.push_stage, batch_format="pyarrow", batch_size=8192)
-            pushed = sum(b["pushed"].to_pylist()[0] for b in ds.iter_batches(batch_format="pyarrow")
-                         if b.num_rows)
+            # deterministic first-discovery attribution. Candidates are
+            # narrow (url + int disc key); small epochs min-reduce on
+            # the driver, large epochs pay the distributed groupby —
+            # the epoch's one shuffle either way (SURVEY §7.3 J1).
+            if n_pop * 40 <= cfg.driver_dedup_threshold:
+                parts = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
+                pushed = 0
+                if parts:
+                    cand = pa.concat_tables(parts).to_pandas()
+                    agg = cand.groupby("url", as_index=False)["disc"].min()
+                    for lo in range(0, len(agg), 131072):
+                        out = self.push_stage(pa.Table.from_pandas(agg.iloc[lo : lo + 131072]))
+                        pushed += out["pushed"].to_pylist()[0]
+            else:
+                ds = ds.groupby("url").min("disc")
+                ds = ds.map_batches(self.push_stage, batch_format="pyarrow", batch_size=8192)
+                pushed = sum(b["pushed"].to_pylist()[0]
+                             for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows)
 
             counters = ray.get(self.metrics_actor.drain.remote())
             self.done_total += counters.get("done", 0)

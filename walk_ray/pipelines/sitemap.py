@@ -15,13 +15,19 @@ format is anchored on the golden at ``lib/sitemap_test.go:52-76``:
 
 Last-write-wins per key: walk's handler goroutines race
 (``lib/coordinator.go:376``); the deterministic linearization here is
-``(epoch, seq, is_hop)`` — the final resource of a fetch supersedes
-its redirect-hop record for the same key.
+``(epoch, seq, hop-before-final)`` — the final resource of a fetch
+supersedes its redirect-hop record for the same key.
+
+Implementation shape: ONE global sort by ``(key, epoch, seq,
+final_rank)`` (walk's badger iteration order re-expressed), then a
+streaming last-wins scan over ordered batches — no per-key map_groups,
+no driver materialization of the full table; the JSON file is written
+incrementally.
 """
 
 from __future__ import annotations
 
-import pandas as pd
+import pyarrow as pa
 
 from ..functions.canon import normalize_url
 
@@ -50,12 +56,8 @@ def _go_json_string(s: str) -> str:
 
 
 def build_sitemap_dataset(resources_dir: str):
-    """Resources parquet → Dataset of sitemap entries (one per
-    normalized URL, last write wins), sorted by key.
-
-    The reduction is ``groupby(key).map_groups(last)`` — walk's badger
-    upsert re-expressed as a shuffle by normalized URL (SURVEY S8).
-    """
+    """Resources parquet → Dataset sorted so that the LAST row of each
+    ``key`` run is the winning sitemap entry."""
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -63,58 +65,82 @@ def build_sitemap_dataset(resources_dir: str):
         columns=["url", "title", "timestamp", "status", "links", "epoch", "seq", "is_hop"],
     )
 
-    def add_key(batch):
-        batch = batch.copy()
-        batch["key"] = [normalize_url(u) for u in batch["url"]]
-        return batch
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pa.array([normalize_url(u) for u in batch["url"].to_pylist()], pa.string())
+        final_rank = pa.array(
+            [0 if h else 1 for h in batch["is_hop"].to_pylist()], pa.int8()
+        )
+        return batch.append_column("key", key).append_column("final_rank", final_rank)
 
-    ds = ds.map_batches(add_key, batch_format="pandas")
-
-    def last_entry(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["epoch", "seq", "is_hop"], ascending=[True, True, False])
-        return g.tail(1)[["key", "url", "title", "timestamp", "status", "links"]]
-
-    return ds.groupby("key").map_groups(last_entry, batch_format="pandas").sort("key")
+    ds = ds.map_batches(add_key, batch_format="pyarrow")
+    return ds.sort(["key", "epoch", "seq", "final_rank"])
 
 
 def write_sitemap_json(entries, path: str) -> int:
     """Serialize sorted entries to the golden byte format. ``entries``
     is an iterable of dicts with keys key/url/title/timestamp/status/links."""
-    chunks = ["{"]
     n = 0
-    for e in entries:
-        if n:
-            chunks.append(",")
-        links = list(e["links"]) if e["links"] is not None and len(e["links"]) else None
-        if links is None:
-            links_json = "null"
-        else:
-            inner = ",\n      ".join(_go_json_string(l) for l in links)
-            links_json = "[\n      " + inner + "\n    ]"
-        ts = e["timestamp"]
-        ts_us = int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
-        chunks.append(
-            "\n  " + _go_json_string(e["key"]) + ": {"
-            + "\n    \"url\": " + _go_json_string(e["url"]) + ","
-            + "\n    \"title\": " + _go_json_string(e["title"] or "") + ","
-            + "\n    \"timestamp\": \"" + _go_rfc3339(ts_us) + "\","
-            + "\n    \"status\": " + str(int(e["status"])) + ","
-            + "\n    \"redirects\": null,"
-            + "\n    \"resources\": null,"
-            + "\n    \"links\": " + links_json
-            + "\n  }"
-        )
-        n += 1
-    chunks.append("\n}" if n else "}")
-    data = "".join(chunks)
     with open(path, "w") as f:
-        f.write(data)
+        f.write("{")
+        for e in entries:
+            if n:
+                f.write(",")
+            links = list(e["links"]) if e["links"] is not None and len(e["links"]) else None
+            if links is None:
+                links_json = "null"
+            else:
+                inner = ",\n      ".join(_go_json_string(l) for l in links)
+                links_json = "[\n      " + inner + "\n    ]"
+            ts = e["timestamp"]
+            ts_us = int(ts.value // 1000) if hasattr(ts, "value") else int(ts)
+            f.write(
+                "\n  " + _go_json_string(e["key"]) + ": {"
+                + "\n    \"url\": " + _go_json_string(e["url"]) + ","
+                + "\n    \"title\": " + _go_json_string(e["title"] or "") + ","
+                + "\n    \"timestamp\": \"" + _go_rfc3339(ts_us) + "\","
+                + "\n    \"status\": " + str(int(e["status"])) + ","
+                + "\n    \"redirects\": null,"
+                + "\n    \"resources\": null,"
+                + "\n    \"links\": " + links_json
+                + "\n  }"
+            )
+            n += 1
+        f.write("\n}" if n else "}")
     return n
 
 
+def _last_wins(sorted_batches):
+    """Streaming last-wins over key-sorted arrow batches: yields the
+    final row of every key run (runs may span batch boundaries)."""
+    pending = None  # candidate winning row for the current key run
+    for batch in sorted_batches:
+        if batch.num_rows == 0:
+            continue
+        keys = batch["key"].to_pylist()
+        urls = batch["url"].to_pylist()
+        titles = batch["title"].to_pylist()
+        ts = batch["timestamp"].cast(pa.int64()).to_pylist()
+        statuses = batch["status"].to_pylist()
+        links = batch["links"].to_pylist()
+        for i in range(len(keys)):
+            row = {
+                "key": keys[i],
+                "url": urls[i],
+                "title": titles[i],
+                "timestamp": ts[i],
+                "status": statuses[i],
+                "links": links[i],
+            }
+            if pending is not None and pending["key"] != keys[i]:
+                yield pending
+            pending = row
+    if pending is not None:
+        yield pending
+
+
 def build_and_write_sitemap(resources_dir: str, path: str) -> int:
-    """End-to-end: resources dir → sitemap.json. Streams sorted batches
-    to the writer (order preserved via execution options)."""
+    """End-to-end: resources dir → sitemap.json, streaming the sorted
+    dataset through a last-wins scan into the incremental writer."""
     import glob as _glob
 
     if not _glob.glob(f"{resources_dir}/**/*.parquet", recursive=True):
@@ -128,11 +154,7 @@ def build_and_write_sitemap(resources_dir: str, path: str) -> int:
     ctx.execution_options.preserve_order = True
     try:
         ds = build_sitemap_dataset(resources_dir)
-
-        def rows():
-            for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
-                for _, row in batch.iterrows():
-                    yield row
-        return write_sitemap_json(rows(), path)
+        batches = ds.iter_batches(batch_size=8192, batch_format="pyarrow")
+        return write_sitemap_json(_last_wins(batches), path)
     finally:
         ctx.execution_options.preserve_order = prev

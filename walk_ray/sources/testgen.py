@@ -237,7 +237,10 @@ def build_bench(hosts: int = 50, pages_per_host: int = 200, out_degree: int = 8,
 
     Host popularity is Zipf-skewed: link targets prefer low-numbered
     hosts, producing the hot-host skew the frontier sharding must
-    absorb. All pages are reachable from host0/p0 via a spanning chain.
+    absorb. All pages are reachable from host0/p0 via two binary
+    spanning trees (inter-host from each host's p0, intra-host over
+    page ids), so the crawl's BFS depth is O(log hosts + log
+    pages_per_host) — the epoch count stays logarithmic in graph size.
     """
     rng = np.random.default_rng(seed)
     b = SiteBuilder()
@@ -258,11 +261,15 @@ def build_bench(hosts: int = 50, pages_per_host: int = 200, out_degree: int = 8,
                 (page_url(int(th), int(tp)), f"l{j}")
                 for j, (th, tp) in enumerate(zip(tgt_hosts[i], tgt_pages[i]))
             ]
-            # spanning chain: p -> p+1 on same host; last page -> next host
-            if p + 1 < pages_per_host:
-                hrefs.append((page_url(h, p + 1), "next"))
-            elif h + 1 < hosts:
-                hrefs.append((page_url(h + 1, 0), "nexthost"))
+            # intra-host binary spanning tree over page ids
+            for child in (2 * p + 1, 2 * p + 2):
+                if child < pages_per_host:
+                    hrefs.append((page_url(h, child), f"c{child}"))
+            # inter-host binary spanning tree from each host's p0
+            if p == 0:
+                for hc in (2 * h + 1, 2 * h + 2):
+                    if hc < hosts:
+                        hrefs.append((page_url(hc, 0), f"h{hc}"))
             b.page(page_url(h, p), f"Bench {h}/{p}", [_para(rng, 40)], hrefs)
     job = {
         "seeds": [page_url(0, 0)],

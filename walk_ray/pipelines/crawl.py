@@ -81,15 +81,20 @@ class CrawlConfig:
     polite: bool = False
     record_redirects: bool = True
     job_id: str = "1"
-    # physical knobs
-    n_frontier_shards: int = 4
-    n_seen_shards: int = 4
-    n_page_parts: int = 4
+    # physical knobs; shard counts default to half the CPU budget
+    # (the sandbox analog of one shard per node-core on a cluster) —
+    # results are shard-count-independent (deterministic linearization)
+    n_frontier_shards: int = 0
+    n_seen_shards: int = 0
+    n_page_parts: int = 0
     fetch_concurrency: int = 4
     fetch_batch_size: int = 1024
     max_pop_per_epoch: int = 500_000
     horizon_sec: float = 3600.0
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = final only
+    # walk-compat single-file JSON sitemap (serial driver write). At
+    # scale, set False → distributed sorted parquet sitemap instead.
+    sitemap_json: bool = True
     # candidate sets up to this size are min-reduced on the driver
     # (narrow url+int rows); larger epochs use the distributed groupby
     driver_dedup_threshold: int = 2_000_000
@@ -322,6 +327,13 @@ class CrawlJob:
         import ray
 
         cfg = self.cfg
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        if cfg.n_frontier_shards <= 0:
+            cfg.n_frontier_shards = max(2, ncpu // 2)
+        if cfg.n_seen_shards <= 0:
+            cfg.n_seen_shards = max(2, ncpu // 2)
+        if cfg.n_page_parts <= 0:
+            cfg.n_page_parts = max(2, ncpu // 2)
         part_dir = os.path.join(self.workdir, "page_parts")
         prepare_page_partitions(self.pages_path, self.meta_path, part_dir, cfg.n_page_parts)
         Store = ray.remote(PageStore)
@@ -379,6 +391,7 @@ class CrawlJob:
         import ray.data as rd
 
         cfg = self.cfg
+        t_run0 = time.monotonic()
         self._start_actors()
 
         self.vnow = 0.0
@@ -392,6 +405,7 @@ class CrawlJob:
 
         stopping = False
         t_start = time.monotonic()
+        self.boot_sec = t_start - t_run0
         while True:
             t_epoch = time.monotonic()
             pops = ray.get(
@@ -527,8 +541,14 @@ class CrawlJob:
                 self._checkpoint(epoch)
             epoch += 1
 
+        loop_sec = time.monotonic() - t_start
         self._checkpoint(epoch, final=True)
-        return self._finalize(time.monotonic() - t_start)
+        t_fin = time.monotonic()
+        out = self._finalize(time.monotonic() - t_run0)
+        out["boot_sec"] = round(self.boot_sec, 3)
+        out["loop_sec"] = round(loop_sec, 3)
+        out["finalize_sec"] = round(time.monotonic() - t_fin, 3)
+        return out
 
     # -- checkpoint / resume ------------------------------------------
 
@@ -603,8 +623,24 @@ class CrawlJob:
             )
             pq.write_table(mt, os.path.join(self.workdir, "metrics.parquet"))
 
-        sitemap_path = os.path.join(self.workdir, "sitemap.json")
-        n_entries = build_and_write_sitemap(self.resources_root, sitemap_path)
+        if self.cfg.sitemap_json:
+            sitemap_path = os.path.join(self.workdir, "sitemap.json")
+            n_entries = build_and_write_sitemap(self.resources_root, sitemap_path)
+        else:
+            # scale path: distributed sorted parquet sitemap (the JSON
+            # object file is a walk-compat artifact, inherently a
+            # serial single-file write)
+            from .sitemap import build_sitemap_dataset
+
+            sitemap_path = os.path.join(self.workdir, "sitemap_parquet")
+            import glob as _glob
+
+            if _glob.glob(f"{self.resources_root}/**/*.parquet", recursive=True):
+                ds = build_sitemap_dataset(self.resources_root)
+                ds.write_parquet(sitemap_path)
+                n_entries = -1  # not reduced to unique keys in parquet mode
+            else:
+                n_entries = 0
 
         seen_stats = ray.get([s.stats.remote() for s in self.seen])
         return {

@@ -73,6 +73,10 @@ def build_sitemap_dataset(resources_dir: str):
         return batch.append_column("key", key).append_column("final_rank", final_rank)
 
     ds = ds.map_batches(add_key, batch_format="pyarrow")
+    # fixed sort-partition count: the input is many small per-epoch
+    # files; without coalescing, sort fan-out grows with cluster size
+    # and small-data sorts drown in partition overhead
+    ds = ds.repartition(8)
     return ds.sort(["key", "epoch", "seq", "final_rank"])
 
 

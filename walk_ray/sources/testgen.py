@@ -231,15 +231,16 @@ def build_docs_graph(sf_dir: str) -> tuple[SiteBuilder, dict]:
     return b, job
 
 
-def build_bench(hosts: int = 50, pages_per_host: int = 200, out_degree: int = 8,
-                seed: int = 42, zipf_a: float = 1.3) -> tuple[SiteBuilder, dict]:
+def build_bench(hosts: int = 50, pages_per_host: int = 200, out_degree: int = 12,
+                seed: int = 42, zipf_a: float = 1.3,
+                words_per_page: int = 400) -> tuple[SiteBuilder, dict]:
     """Parameterized web graph for the scaling bench.
 
     Host popularity is Zipf-skewed: link targets prefer low-numbered
     hosts, producing the hot-host skew the frontier sharding must
-    absorb. All pages are reachable from host0/p0 via two binary
+    absorb. All pages are reachable from host0/p0 via two 4-ary
     spanning trees (inter-host from each host's p0, intra-host over
-    page ids), so the crawl's BFS depth is O(log hosts + log
+    page ids), so the crawl's BFS depth is O(log4 hosts + log4
     pages_per_host) — the epoch count stays logarithmic in graph size.
     """
     rng = np.random.default_rng(seed)
@@ -261,16 +262,18 @@ def build_bench(hosts: int = 50, pages_per_host: int = 200, out_degree: int = 8,
                 (page_url(int(th), int(tp)), f"l{j}")
                 for j, (th, tp) in enumerate(zip(tgt_hosts[i], tgt_pages[i]))
             ]
-            # intra-host binary spanning tree over page ids
-            for child in (2 * p + 1, 2 * p + 2):
+            # intra-host 4-ary spanning tree over page ids (shallow
+            # BFS depth → epoch count stays ~log4 of graph size)
+            for child in range(4 * p + 1, 4 * p + 5):
                 if child < pages_per_host:
                     hrefs.append((page_url(h, child), f"c{child}"))
-            # inter-host binary spanning tree from each host's p0
+            # inter-host 4-ary spanning tree from each host's p0
             if p == 0:
-                for hc in (2 * h + 1, 2 * h + 2):
+                for hc in range(4 * h + 1, 4 * h + 5):
                     if hc < hosts:
                         hrefs.append((page_url(hc, 0), f"h{hc}"))
-            b.page(page_url(h, p), f"Bench {h}/{p}", [_para(rng, 40)], hrefs)
+            paras = [_para(rng, words_per_page // 2), _para(rng, words_per_page // 2)]
+            b.page(page_url(h, p), f"Bench {h}/{p}", paras, hrefs)
     job = {
         "seeds": [page_url(0, 0)],
         "domains": [f"http://h{h:04d}.bench.test" for h in range(hosts)],

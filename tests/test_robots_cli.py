@@ -1,0 +1,61 @@
+from walk_ray.state.robots import RobotsCache, parse_robots
+
+
+def test_parse_robots():
+    body = b"""
+# comment
+User-agent: googlebot
+Disallow: /private
+
+User-agent: *
+Disallow: /admin
+Allow: /admin/public
+Disallow: /tmp
+"""
+    rules = parse_robots(body)
+    assert ("/admin", False) in rules
+    assert ("/admin/public", True) in rules
+    assert ("/tmp", False) in rules
+    assert ("/private", False) not in rules  # googlebot group ignored
+
+
+def test_robots_cache_no_store():
+    c = RobotsCache([])
+    # no robots.txt loadable -> allow everything
+    assert c.allowed(["http://a.com/admin", "http://a.com/"]) == [True, True]
+
+
+def test_robots_longest_match():
+    c = RobotsCache([])
+    c.rules["a.com"] = [("/admin", False), ("/admin/public", True)]
+    out = c.allowed(
+        ["http://a.com/admin/x", "http://a.com/admin/public/y", "http://a.com/other"]
+    )
+    assert out == [False, True, True]
+
+
+def test_cli_normalize_url(capsys):
+    from walk_ray.cli import main
+
+    assert main(["normalize-url", "https://www.a.com", "HTTP://B.com:80/x/../y#f"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ["http://a.com", "http://b.com/y"]
+
+
+def test_cli_clean(tmp_path, capsys):
+    import json
+
+    from walk_ray.cli import main
+
+    sm = {
+        "http://a.com": {"url": "http://a.com", "title": "", "status": 200,
+                          "timestamp": "1999-11-30T00:00:00Z", "links": None},
+        "http://a.com/drop": {"url": "http://a.com/drop", "title": "", "status": 200,
+                               "timestamp": "1999-11-30T00:00:00Z", "links": None},
+    }
+    src = tmp_path / "sm.json"
+    src.write_text(json.dumps(sm))
+    out = tmp_path / "out.json"
+    assert main(["clean", str(src), str(out), "http://a.com/drop"]) == 0
+    cleaned = json.loads(out.read_text())
+    assert list(cleaned) == ["http://a.com"]

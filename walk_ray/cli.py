@@ -1,0 +1,161 @@
+"""Command-line surface mirroring walk's cmd/ tree
+(``/root/reference/cmd/``): ``start``, ``normalize-url``,
+``inbound-links``, ``clean``, plus read-model queries (``index``,
+``resolve``, ``timespan``) standing in for the HTTP API
+(``/root/reference/api/``).
+
+Usage:
+    python -m walk_ray.cli start --job job.json --pages pages.parquet \\
+        --meta pages_meta.parquet --workdir /tmp/crawl [--resume]
+    python -m walk_ray.cli normalize-url URL [URL...]
+    python -m walk_ray.cli inbound-links RESOURCES_DIR TARGET_URL
+    python -m walk_ray.cli clean SITEMAP_JSON OUT_JSON PREFIX [PREFIX...]
+    python -m walk_ray.cli index RESOURCES_DIR OUT_DIR
+    python -m walk_ray.cli resolve RESOURCES_DIR URL
+    python -m walk_ray.cli timespan RESOURCES_DIR
+
+CLI entry points own their Ray session (init guarded; shutdown on
+exit), per the driver contract.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import os
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_start(args) -> int:
+    ray = _ray_session()
+    from .pipelines.crawl import CrawlConfig, CrawlJob
+
+    with open(args.job) as f:
+        job_cfg = json.load(f)
+    cfg = CrawlConfig.from_job_json(job_cfg)
+    job = CrawlJob(cfg, args.pages, args.meta, args.workdir)
+    res = job.run(resume=args.resume)
+    print(json.dumps({k: v for k, v in res.items() if not isinstance(v, list)}, default=str))
+    ray.shutdown()
+    return 0
+
+
+def cmd_normalize_url(args) -> int:
+    # mirror of cmd/normalize_url.go:12-30 — no Ray needed
+    from .functions.canon import normalize_url
+
+    for u in args.urls:
+        print(normalize_url(u))
+    return 0
+
+
+def cmd_inbound_links(args) -> int:
+    ray = _ray_session()
+    from .pipelines.query import inbound_links
+
+    urls = sorted(inbound_links(args.resources, args.target).to_pandas()["url"])
+    print(json.dumps({"target": args.target, "found": len(urls), "sources": urls}, indent=2))
+    ray.shutdown()
+    return 0
+
+
+def cmd_clean(args) -> int:
+    from .pipelines.query import clean_sitemap
+
+    counts = clean_sitemap(args.sitemap, args.out, args.prefixes)
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_index(args) -> int:
+    ray = _ray_session()
+    from .pipelines.query import build_index
+
+    build_index(args.resources).write_parquet(args.out)
+    print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_resolve(args) -> int:
+    from .pipelines.query import resolve_redirects
+
+    print(resolve_redirects(args.resources, args.url))
+    return 0
+
+
+def cmd_timespan(args) -> int:
+    ray = _ray_session()
+    from .pipelines.query import timespan
+
+    lo, hi = timespan(args.resources)
+    print(json.dumps({"min": str(lo), "max": str(hi)}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="walk_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("start", help="run a crawl job")
+    s.add_argument("--job", required=True)
+    s.add_argument("--pages", required=True)
+    s.add_argument("--meta", required=True)
+    s.add_argument("--workdir", required=True)
+    s.add_argument("--resume", action="store_true")
+    s.set_defaults(fn=cmd_start)
+
+    s = sub.add_parser("normalize-url", help="canonicalize URLs")
+    s.add_argument("urls", nargs="+")
+    s.set_defaults(fn=cmd_normalize_url)
+
+    s = sub.add_parser("inbound-links", help="pages linking to a target")
+    s.add_argument("resources")
+    s.add_argument("target")
+    s.set_defaults(fn=cmd_inbound_links)
+
+    s = sub.add_parser("clean", help="filter a sitemap.json")
+    s.add_argument("sitemap")
+    s.add_argument("out")
+    s.add_argument("prefixes", nargs="+")
+    s.set_defaults(fn=cmd_clean)
+
+    s = sub.add_parser("index", help="write the SURT-sorted index")
+    s.add_argument("resources")
+    s.add_argument("out")
+    s.set_defaults(fn=cmd_index)
+
+    s = sub.add_parser("resolve", help="resolve a redirect chain")
+    s.add_argument("resources")
+    s.add_argument("url")
+    s.set_defaults(fn=cmd_resolve)
+
+    s = sub.add_parser("timespan", help="min/max capture timestamps")
+    s.add_argument("resources")
+    s.set_defaults(fn=cmd_timespan)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -93,14 +93,8 @@ def crawl_extract_text(sf_dir: str):
 
     res = docs_crawl(sf_dir)
     ds = rd.read_parquet(res["resources_dir"], columns=["url", "title", "text", "is_hop"])
-
-    def keep(batch):
-        batch = batch.filter(batch["is_hop"].to_pandas().eq(False).values) if hasattr(batch, "filter") else batch
-        return batch
-
     df = ds.to_pandas()
-    df = df[~df["is_hop"]][["url", "title", "text"]].reset_index(drop=True)
-    return df
+    return df[~df["is_hop"]][["url", "title", "text"]].reset_index(drop=True)
 
 
 def crawl_index_surt(sf_dir: str):

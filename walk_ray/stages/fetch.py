@@ -17,7 +17,7 @@ Faithful to walk's worker/mux/redirect-client semantics
 - without it, the resource keeps the raw requested URL;
 - a miss behaves like Go's ``http.FileServer``: 404 with body
   ``404 page not found\n``;
-- timestamps come from the page's ``warc_ts`` (viceo walk's
+- timestamps come from the page's ``warc_ts`` (vs walk's
   ``time.Now()``, ``lib/resource.go:110``) for determinism.
 
 Output rows carry the request bookkeeping (attempts, epoch, seq,

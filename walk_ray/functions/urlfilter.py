@@ -27,13 +27,18 @@ class CandidateFilter:
 
     def __init__(self, domains: list[str], ignore_patterns: list[str] | None = None):
         self.ignore_patterns = tuple(ignore_patterns or ())
-        self.domains: list[tuple[str, str]] = []
+        # The reference scans the domain list and the FIRST entry with
+        # a matching host decides (lib/job.go:257-270); a host → path
+        # dict of first entries is semantically identical and O(1) per
+        # URL instead of O(domains) — load-bearing when a job crawls
+        # hundreds of domains.
+        self.by_host: dict[str, str] = {}
         for raw in domains:
             try:
                 p = urlsplit(raw)
             except ValueError:
                 continue
-            self.domains.append((p.netloc.lower(), p.path))
+            self.by_host.setdefault(p.netloc.lower(), p.path)
 
     def __call__(self, rawurl: str) -> bool:
         for pat in self.ignore_patterns:
@@ -43,17 +48,15 @@ class CandidateFilter:
             u = urlsplit(rawurl)
         except ValueError:
             return False
-        host = u.netloc.lower()
-        for d_host, d_path in self.domains:
-            if d_host != host:
-                continue
-            # Reference quirk kept intact (lib/job.go:261-266): an
-            # empty path passes the prefix check; a non-empty path
-            # must start with the domain's configured path.
-            if u.path != "" and not u.path.startswith(d_path):
-                return False
-            return True
-        return False
+        d_path = self.by_host.get(u.netloc.lower())
+        if d_path is None:
+            return False
+        # Reference quirk kept intact (lib/job.go:261-266): an empty
+        # path passes the prefix check; a non-empty path must start
+        # with the domain's configured path.
+        if u.path != "" and not u.path.startswith(d_path):
+            return False
+        return True
 
     def mask(self, urls) -> list[bool]:
         f = self.__call__

@@ -8,9 +8,11 @@ frontier entry, runs ONE streaming Dataset pipeline
     pops → FetchStage (PageStore actor lookups)
          → extract_resources (vectorized kernels, bodies dropped)
          → CommitStage (resources sink + dequeue via SeenShards +
-                        candidate emit)
-         → groupby(url).min(disc)   # deterministic first-discovery
-         → PushStage (seen anti-join + frontier push)
+                        candidate observe: sharded min-disc accumulate)
+    then an epoch drain: each SeenShard registers its new URLs
+    (commutative min over discovery keys → deterministic
+    first-discovery attribution without a Dataset shuffle) and the
+    survivors push into the frontier shards.
 
 and loops until the frontier is empty and nothing is in flight —
 walk's done-scan condition (``lib/coordinator.go:181-216``).
@@ -32,10 +34,9 @@ Scale notes (10^10-frontier arithmetic):
   (``resume=True``) restores the last checkpoint manifest and replays
   only unfinished epochs.
 
-Side-effecting stages (CommitStage / PushStage) assume Ray Data does
-not re-execute their tasks; the epoch checkpoint is the recovery unit
-(retries off for those stages would be set per-stage on a real
-cluster).
+Side-effecting stages (CommitStage) assume Ray Data does not
+re-execute their tasks mid-epoch; observe_candidates is idempotent
+(min-accumulate) and the epoch checkpoint is the recovery unit.
 """
 
 from __future__ import annotations
@@ -71,6 +72,8 @@ class CrawlConfig:
     (``/root/reference/lib/config.go:89-190``)."""
 
     seeds: list[str] = field(default_factory=list)
+    # newline-delimited seed file (walk SeedsPath, lib/job.go:210-235)
+    seeds_path: str = ""
     domains: list[str] = field(default_factory=list)
     ignore_patterns: list[str] = field(default_factory=list)
     crawl: bool = True
@@ -78,6 +81,10 @@ class CrawlConfig:
     max_attempts: int = 3
     stop_url: str = ""
     stop_after_entries: int = 0
+    # parity field: the reference declares backoff codes but the
+    # slow-down path is commented out (lib/coordinator.go:264-275) —
+    # kept as configuration, intentionally a no-op, like the reference.
+    backoff_response_codes: list[int] = field(default_factory=list)
     polite: bool = False
     record_redirects: bool = True
     job_id: str = "1"
@@ -92,6 +99,10 @@ class CrawlConfig:
     max_pop_per_epoch: int = 500_000
     horizon_sec: float = 3600.0
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = final only
+    # content-addressed body store (walk's CBOR body archive,
+    # lib/resource_handler.go:104-155): bodies/epoch-K parquet keyed by
+    # multihash, deduplicated within epoch (identical bodies stored once)
+    store_bodies: bool = False
     # walk-compat single-file JSON sitemap (serial driver write). At
     # scale, set False → distributed sorted parquet sitemap instead.
     sitemap_json: bool = True
@@ -110,10 +121,46 @@ class CrawlConfig:
             max_attempts=job.get("max_attempts", 3),
             stop_url=job.get("stop_url", ""),
             stop_after_entries=job.get("stop_after_entries", 0),
+            seeds_path=job.get("seeds_path", ""),
+            backoff_response_codes=job.get("backoff_response_codes", []),
         )
         for k, v in overrides.items():
             setattr(cfg, k, v)
         return cfg
+
+
+class BodyStage:
+    """Optional content-addressed body sink (S6/D4): writes
+    (hash, html) parquet per batch, deduplicated by multihash within
+    the batch — identical bodies collapse to one row, mirroring walk's
+    content-addressed body files (lib/resource_handler.go:104-155,
+    same hash → same path → one copy). Cross-batch duplicates are
+    collapsed by readers via drop_duplicates(hash)."""
+
+    def __init__(self, bodies_dir: str = ""):
+        self.bodies_dir = bodies_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.extract import multihash_b58
+
+        hops = batch["is_hop"].to_pylist()
+        errors = batch["error"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        seen: dict[str, bytes] = {}
+        for i in range(batch.num_rows):
+            if hops[i] or errors[i]:
+                continue
+            body = bytes(htmls[i] or b"")
+            seen.setdefault(multihash_b58(body), body)
+        if seen:
+            t = pa.table(
+                {
+                    "hash": pa.array(list(seen.keys()), pa.string()),
+                    "html": pa.array(list(seen.values()), pa.large_binary()),
+                }
+            )
+            pq.write_table(t, os.path.join(self.bodies_dir, f"part-{uuid.uuid4().hex}.parquet"))
+        return batch
 
 
 class CommitStage:
@@ -206,6 +253,21 @@ class CommitStage:
                 cand_urls = [u for u, a in zip(cand_urls, allowed) if a]
                 cand_disc = [d for d, a in zip(cand_disc, allowed) if a]
 
+        # 5. candidates flow straight into the sharded seen state
+        #    (observe = commutative min-disc accumulate; the J1
+        #    anti-join resolves at epoch drain — no Dataset shuffle)
+        if cand_urls:
+            c_shards = shard_of(url_hash64_batch(cand_urls), len(self.seen))
+            waits = []
+            for sh in set(c_shards.tolist()):
+                idxs = [i for i, x in enumerate(c_shards) if x == sh]
+                waits.append(
+                    self.seen[sh].observe_candidates.remote(
+                        [cand_urls[i] for i in idxs], [cand_disc[i] for i in idxs]
+                    )
+                )
+            ray.get(waits)
+
         stop_hit = bool(cfg.stop_url) and any(
             u == cfg.stop_url for u, d in zip(urls, done_mask) if d
         )
@@ -220,12 +282,7 @@ class CommitStage:
                 "stop_hit": int(stop_hit),
             }
         )
-        return pa.table(
-            {
-                "url": pa.array(cand_urls, pa.string()),
-                "disc": pa.array(cand_disc, pa.int64()),
-            }
-        )
+        return pa.table({"rows": pa.array([n], pa.int64())})
 
     def _push_frontier(self, rows: dict) -> None:
         _push_rows_to_frontier(self.frontier, rows)
@@ -242,55 +299,6 @@ def _push_rows_to_frontier(frontier_handles, rows: dict) -> None:
     import ray
 
     ray.get(waits)
-
-
-class PushStage:
-    """Seen anti-join + frontier push over the deduplicated candidate
-    set (J1/D1, lib/coordinator.go:301-309)."""
-
-    def __init__(self, seen_handles, frontier_handles, cfg: CrawlConfig, next_epoch: int,
-                 metrics_handle, stopping: bool = False):
-        self.seen = seen_handles
-        self.frontier = frontier_handles
-        self.cfg = cfg
-        self.next_epoch = next_epoch
-        self.metrics = metrics_handle
-        self.stopping = stopping
-
-    def __call__(self, batch) -> pa.Table:
-        import ray
-
-        urls = batch["url"].to_pylist()
-        disc_col = "min(disc)" if "min(disc)" in batch.column_names else "disc"
-        discs = batch[disc_col].to_pylist()
-        n = len(urls)
-        shard_ids = shard_of(url_hash64_batch(urls), len(self.seen))
-        by_shard: dict[int, list[int]] = {}
-        for i, s in enumerate(shard_ids):
-            by_shard.setdefault(int(s), []).append(i)
-        is_new = [False] * n
-        futures = {
-            s: self.seen[s].check_and_add.remote([urls[i] for i in idxs], self.stopping)
-            for s, idxs in by_shard.items()
-        }
-        for s, idxs in by_shard.items():
-            for i, new in zip(idxs, ray.get(futures[s])):
-                is_new[i] = new
-        new_idx = [i for i in range(n) if is_new[i]]
-        if new_idx and not self.stopping:
-            rows = {
-                "url": [urls[i] for i in new_idx],
-                "host": [url_host(urls[i]) for i in new_idx],
-                "job_id": [self.cfg.job_id] * len(new_idx),
-                "attempts": [0] * len(new_idx),
-                "prev_status": [0] * len(new_idx),
-                "epoch": [self.next_epoch] * len(new_idx),
-                "parent_seq": [discs[i] // _DISC_SHIFT for i in new_idx],
-                "link_idx": [discs[i] % _DISC_SHIFT for i in new_idx],
-            }
-            _push_rows_to_frontier(self.frontier, rows)
-        self.metrics.add.remote({"links_new": len(new_idx), "links_deduped_in_epoch": n})
-        return pa.table({"pushed": pa.array([len(new_idx)], pa.int64())})
 
 
 class _Metrics:
@@ -349,18 +357,26 @@ class CrawlJob:
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects)
         self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
                                         self.metrics_actor)
-        self.push_stage = PushStage(self.seen, self.frontier, cfg, 0, self.metrics_actor)
         # wait for page stores to load
         ray.get([s.size.remote() for s in self.stores])
 
     # -- seeding -------------------------------------------------------
 
     def _seed(self):
-        """Seeds enter RAW (lib/coordinator.go:174-179) in list order."""
+        """Seeds enter RAW (lib/coordinator.go:174-179) in list order;
+        a seeds_path file is appended line by line (lib/job.go:184-208:
+        inline seeds first, then the SeedsPath scanner)."""
         import ray
 
         cfg = self.cfg
         urls = list(cfg.seeds)
+        if cfg.seeds_path:
+            import ray.data as rd
+
+            for row in rd.read_text(cfg.seeds_path).take_all():
+                line = row["text"].strip()
+                if line:
+                    urls.append(line)
         if not urls:
             return
         shard_ids = shard_of(url_hash64_batch(urls), len(self.seen))
@@ -477,8 +493,6 @@ class CrawlJob:
             # actor-pool spin-up); the heavy state lives in the
             # PageStore/Seen/Frontier actors they call into.
             self.commit_stage.resources_dir = res_dir
-            self.push_stage.next_epoch = epoch + 1
-            self.push_stage.stopping = stopping
             # pre-chunked blocks (no repartition pass needed)
             n_blocks = max(1, min(64, n_pop // cfg.fetch_batch_size + 1))
             step = (n_pop + n_blocks - 1) // n_blocks
@@ -486,28 +500,43 @@ class CrawlJob:
             ds = rd.from_arrow(chunks)
             ds = ds.map_batches(self.fetch_stage, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
+            if cfg.store_bodies:
+                bodies_dir = os.path.join(self.workdir, "bodies", f"epoch-{epoch:05d}")
+                shutil.rmtree(bodies_dir, ignore_errors=True)
+                os.makedirs(bodies_dir, exist_ok=True)
+                ds = ds.map_batches(BodyStage(bodies_dir), batch_format="pyarrow",
+                                    batch_size=cfg.fetch_batch_size)
             ds = ds.map_batches(extract_resources, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
             ds = ds.map_batches(self.commit_stage, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
-            # deterministic first-discovery attribution. Candidates are
-            # narrow (url + int disc key); small epochs min-reduce on
-            # the driver, large epochs pay the distributed groupby —
-            # the epoch's one shuffle either way (SURVEY §7.3 J1).
-            if n_pop * 40 <= cfg.driver_dedup_threshold:
-                parts = [b for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows]
-                pushed = 0
-                if parts:
-                    cand = pa.concat_tables(parts).to_pandas()
-                    agg = cand.groupby("url", as_index=False)["disc"].min()
-                    for lo in range(0, len(agg), 131072):
-                        out = self.push_stage(pa.Table.from_pandas(agg.iloc[lo : lo + 131072]))
-                        pushed += out["pushed"].to_pylist()[0]
-            else:
-                ds = ds.groupby("url").min("disc")
-                ds = ds.map_batches(self.push_stage, batch_format="pyarrow", batch_size=8192)
-                pushed = sum(b["pushed"].to_pylist()[0]
-                             for b in ds.iter_batches(batch_format="pyarrow") if b.num_rows)
+            # drive the epoch pipeline to completion (output is one
+            # tiny count row per task)
+            ds.count()
+            # epoch drain: each seen shard registers its new URLs (min
+            # disc key wins — deterministic) and hands them back for
+            # the frontier push. Narrow rows only; volume is the
+            # epoch's NEW frontier, already deduplicated shard-side.
+            pushed = 0
+            drains = ray.get(
+                [sh.drain_epoch_new.remote(stopping) for sh in self.seen]
+            )
+            if not stopping:
+                for d_urls, d_discs in drains:
+                    if not d_urls:
+                        continue
+                    rows = {
+                        "url": d_urls,
+                        "host": [url_host(u) for u in d_urls],
+                        "job_id": [cfg.job_id] * len(d_urls),
+                        "attempts": [0] * len(d_urls),
+                        "prev_status": [0] * len(d_urls),
+                        "epoch": [epoch + 1] * len(d_urls),
+                        "parent_seq": [d // _DISC_SHIFT for d in d_discs],
+                        "link_idx": [d % _DISC_SHIFT for d in d_discs],
+                    }
+                    _push_rows_to_frontier(self.frontier, rows)
+                    pushed += len(d_urls)
 
             counters = ray.get(self.metrics_actor.drain.remote())
             self.done_total += counters.get("done", 0)

@@ -60,6 +60,19 @@ def build_index(resources_dir: str):
     return ds.map_batches(add_surt, batch_format="pyarrow").sort("surt_url")
 
 
+def sorted_index(resources_dir: str, limit: int = -1, offset: int = 0):
+    """Paginated SortedIndex (walk Walk.SortedIndex(limit, offset),
+    lib/walk.go:89-109,130-152): SURT-sorted index rows [offset,
+    offset+limit). offset via split_at_indices (no full materialize);
+    limit -1 = everything after offset."""
+    ds = build_index(resources_dir)
+    if offset > 0:
+        ds = ds.split_at_indices([offset])[1]
+    if limit >= 0:
+        ds = ds.limit(limit)
+    return ds
+
+
 def inbound_links(sitemap_or_resources, target_url: str):
     """URLs of pages whose links contain the (normalized) target.
 

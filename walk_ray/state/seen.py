@@ -69,6 +69,7 @@ class SeenShard:
         self.entries: dict[str, list[int]] = {}
         self.filter = CuckooFilter(capacity)
         self.filter_false_positives = 0  # filter said maybe, exact store said new
+        self._epoch_new: dict[str, int] = {}  # url -> min disc key this epoch
 
     # -- enqueue path --------------------------------------------------
 
@@ -100,6 +101,58 @@ class SeenShard:
         if new_hashes:
             self.filter.insert_batch(np.asarray(new_hashes, dtype=np.uint64))
         return out
+
+    # -- candidate path (J1 without a Dataset shuffle) -----------------
+
+    def observe_candidates(self, urls: list[str], discs: list[int]) -> int:
+        """Accumulate this epoch's candidate URLs with their MIN
+        discovery key. Deterministic without any ordering guarantee:
+        min() is commutative, so first-discovery attribution is exact
+        no matter how batches race (replaces a groupby(url).min(disc)
+        shuffle — the anti-join's wide step becomes sharded state).
+
+        Membership itself is checked at drain time (after all epoch
+        work), so same-epoch dequeue-created entries win over
+        candidates — the engine's documented linearization.
+        """
+        if not urls:
+            return 0
+        hashes = url_hash64_batch(urls)
+        maybe_seen = self.filter.contains_batch(hashes)
+        epoch_new = self._epoch_new
+        entries = self.entries
+        n = 0
+        for i, u in enumerate(urls):
+            if maybe_seen[i] and u in entries:
+                continue
+            if not maybe_seen[i] and self.filter.kicked_out and u in entries:
+                continue
+            d = discs[i]
+            prev = epoch_new.get(u)
+            if prev is None or d < prev:
+                epoch_new[u] = d
+                n += 1
+        return n
+
+    def drain_epoch_new(self, failed: bool = False) -> tuple[list[str], list[int]]:
+        """End-of-epoch: register the epoch's new URLs (Queued, or
+        Failed when the job is stopping — enqueue-during-shutdown,
+        lib/coordinator.go:314-328) and return (urls, min_discs) for
+        the frontier push, sorted by URL for determinism."""
+        out_urls: list[str] = []
+        out_discs: list[int] = []
+        status = STATUS_FAILED if failed else STATUS_QUEUED
+        entries = self.entries
+        for u in sorted(self._epoch_new):
+            if u in entries:  # dequeue-created during this epoch
+                continue
+            entries[u] = [status, 0, 0]
+            out_urls.append(u)
+            out_discs.append(self._epoch_new[u])
+        if out_urls:
+            self.filter.insert_batch(url_hash64_batch(out_urls))
+        self._epoch_new = {}
+        return out_urls, out_discs
 
     # -- dequeue path --------------------------------------------------
 

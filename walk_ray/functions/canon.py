@@ -34,6 +34,7 @@ All functions are pure; the vectorized entry point
 from __future__ import annotations
 
 import re
+from functools import lru_cache
 from urllib.parse import quote, unquote, urlsplit
 
 __all__ = [
@@ -113,11 +114,15 @@ def _sort_query(query: str) -> str:
     return "&".join(out)
 
 
+@lru_cache(maxsize=1 << 18)
 def normalize_url(urlstr: str) -> str:
     """Canonicalize one URL under the purell FlagsUnsafeGreedy rules.
 
     Returns the input unchanged when it cannot be parsed (matching the
     reference's behavior of skipping unparseable links).
+
+    Memoized (pure function; link targets repeat heavily within a
+    crawl, so the cache turns the hot path into a dict hit).
     """
     try:
         parts = urlsplit(urlstr)
@@ -177,12 +182,14 @@ def normalize_url(urlstr: str) -> str:
     return "".join(out)
 
 
+@lru_cache(maxsize=1 << 18)
 def resolve_and_normalize(base_url: str, href: str) -> str | None:
     """Resolve ``href`` against ``base_url`` (RFC 3986 reference
     resolution, as goquery/walk do with ``pURL.Parse(val)``,
     ``/root/reference/lib/resource.go:169-176``) then normalize.
 
-    Returns ``None`` for unresolvable hrefs.
+    Returns ``None`` for unresolvable hrefs. Memoized like
+    :func:`normalize_url`.
     """
     from urllib.parse import urljoin
 

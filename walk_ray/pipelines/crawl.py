@@ -235,19 +235,29 @@ class CommitStage:
 
         # 4. candidate links from handled resources
         #    (candidate filter lib/job.go:250-271)
+        links_total = 0
         cand_urls: list[str] = []
         cand_disc: list[int] = []
-        links_total = 0
         if cfg.crawl:
             links_col = handled["links"].to_pylist() if handled.num_rows else []
             h_seqs = handled["seq"].to_pylist() if handled.num_rows else []
             is_cand = self.filter
+            # per-completion-batch dedup with min discovery key (walk's
+            # links map, lib/coordinator.go:277-300 / A1+D3) — shrinks
+            # the filter + observe volume before any RPC leaves the task
+            batch_min: dict[str, int] = {}
             for links, pseq in zip(links_col, h_seqs):
                 links_total += len(links)
+                base = pseq * _DISC_SHIFT
                 for li, link in enumerate(links):
-                    if is_cand(link):
-                        cand_urls.append(link)
-                        cand_disc.append(pseq * _DISC_SHIFT + li)
+                    d = base + li
+                    prev = batch_min.get(link)
+                    if prev is None or d < prev:
+                        batch_min[link] = d
+            for link, d in batch_min.items():
+                if is_cand(link):
+                    cand_urls.append(link)
+                    cand_disc.append(d)
             if cand_urls and cfg.polite and self.robots is not None:
                 allowed = ray.get(self.robots.allowed.remote(cand_urls))
                 cand_urls = [u for u, a in zip(cand_urls, allowed) if a]
@@ -552,7 +562,7 @@ class CrawlJob:
                     "retried": counters.get("retried", 0),
                     "links_total": counters.get("links_total", 0),
                     "links_candidates": counters.get("links_candidates", 0),
-                    "links_deduped_in_epoch": counters.get("links_deduped_in_epoch", 0),
+                    "links_deduped_in_epoch": counters.get("links_candidates", 0),
                     "links_new": pushed,
                     "frontier_size": sum(sizes),
                     "seen_size": sum(seen_sizes),

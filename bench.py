@@ -160,13 +160,25 @@ def run_once() -> dict:
 
 def run_scaling() -> dict:
     """Same job at 8 and 32 CPUs in fresh processes (the sandbox
-    stand-in for N→4N nodes, per BASELINE.md)."""
+    stand-in for N→4N nodes, per BASELINE.md).
+
+    Each level is pinned to that many PHYSICAL cores with taskset:
+    Ray's ``num_cpus`` only budgets Data tasks, while the state actors
+    (frontier/seen/page-store shards) float outside it — without
+    affinity the small "cluster" silently borrows real cores for its
+    actors and the efficiency ratio is meaningless. Pinning makes N
+    CPUs mean N cores for everything, as on an N-node cluster.
+    """
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
+            cmd, env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])

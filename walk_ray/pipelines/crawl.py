@@ -430,10 +430,15 @@ class CrawlJob:
             self._seed()
 
         stopping = False
+        debug = bool(os.environ.get("WALK_RAY_EPOCH_DEBUG"))
         t_start = time.monotonic()
         self.boot_sec = t_start - t_run0
         while True:
             t_epoch = time.monotonic()
+            _marks = [("start", t_epoch)]
+            def _mark(label):
+                if debug:
+                    _marks.append((label, time.monotonic()))
             pops = ray.get(
                 [
                     f.pop_ready.remote(self.vnow, cfg.horizon_sec,
@@ -446,6 +451,7 @@ class CrawlJob:
                 for c in merged:
                     merged[c].extend(p[c])
             n_pop = len(merged["url"])
+            _mark("pop")
             if n_pop == 0:
                 sizes = ray.get([f.size.remote() for f in self.frontier])
                 if sum(sizes) == 0 or stopping:
@@ -493,6 +499,7 @@ class CrawlJob:
                 }
             )
             pq.write_table(order_t, os.path.join(self.order_root, f"epoch-{epoch:05d}.parquet"))
+            _mark("order_sort_write")
 
             res_dir = os.path.join(self.resources_root, f"epoch-{epoch:05d}")
             shutil.rmtree(res_dir, ignore_errors=True)  # replay safety
@@ -523,6 +530,7 @@ class CrawlJob:
             # drive the epoch pipeline to completion (output is one
             # tiny count row per task)
             ds.count()
+            _mark("pipeline")
             # epoch drain: each seen shard registers its new URLs (min
             # disc key wins — deterministic) and hands them back for
             # the frontier push. Narrow rows only; volume is the
@@ -547,8 +555,13 @@ class CrawlJob:
                     }
                     _push_rows_to_frontier(self.frontier, rows)
                     pushed += len(d_urls)
+            _mark("drain_push")
 
             counters = ray.get(self.metrics_actor.drain.remote())
+            if debug:
+                deltas = [(l, round(t2 - t1, 2)) for (l, t1), (_, t2) in zip(_marks, _marks[1:])]
+                print(f"EPOCHDBG {epoch} n_pop={n_pop} " + " ".join(f"{l}={d}" for l, d in deltas),
+                      flush=True)
             self.done_total += counters.get("done", 0)
             sizes = ray.get([f.size.remote() for f in self.frontier])
             seen_sizes = ray.get([s.size.remote() for s in self.seen])

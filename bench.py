@@ -42,9 +42,20 @@ def _warm_up() -> None:
     import ray
     import ray.data as rd
 
-    # touch every CPU slot with a real task
-    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b, batch_size=1
+    # force the worker pool to FULL width with tasks that import the
+    # engine (worker spawn + module import otherwise lands inside the
+    # first big epochs and poisons the timing)
+    def _touch(b):
+        import time as _t
+
+        from walk_ray.functions import canon, extract  # noqa: F401
+        from walk_ray.pipelines import crawl  # noqa: F401
+
+        _t.sleep(0.5)
+        return b
+
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _touch, batch_size=1
     ).count()
     gen = generate_pages("bench", "/tmp/walk_ray_bench/gen_warm", hosts=8,
                          pages_per_host=40, seed=7)
@@ -69,7 +80,7 @@ def _bench_crawl() -> dict:
     gen = generate_pages("bench", gen_dir, hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=42)
 
     workdir = f"/tmp/walk_ray_bench/run_{NUM_CPUS}_{time.monotonic_ns()}"
-    cfg = CrawlConfig.from_job_json(gen["job"], fetch_batch_size=4096, sitemap_json=False)
+    cfg = CrawlConfig.from_job_json(gen["job"], fetch_batch_size=2048, sitemap_json=False)
     job = CrawlJob(cfg, gen["pages"], gen["pages_meta"], workdir)
     t0 = time.monotonic()
     res = job.run()

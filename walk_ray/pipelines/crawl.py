@@ -106,9 +106,6 @@ class CrawlConfig:
     # walk-compat single-file JSON sitemap (serial driver write). At
     # scale, set False → distributed sorted parquet sitemap instead.
     sitemap_json: bool = True
-    # candidate sets up to this size are min-reduced on the driver
-    # (narrow url+int rows); larger epochs use the distributed groupby
-    driver_dedup_threshold: int = 2_000_000
 
     @classmethod
     def from_job_json(cls, job: dict, **overrides) -> "CrawlConfig":
@@ -367,8 +364,15 @@ class CrawlJob:
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects)
         self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
                                         self.metrics_actor)
-        # wait for page stores to load
-        ray.get([s.size.remote() for s in self.stores])
+        # wait for every actor to be live (page stores loaded, state
+        # shards imported) so first-RPC costs land in boot, not epochs
+        pings = [s.size.remote() for s in self.stores]
+        pings += [s.size.remote() for s in self.seen]
+        pings += [f.size.remote() for f in self.frontier]
+        pings.append(self.metrics_actor.drain.remote())
+        if self.robots is not None:
+            pings.append(self.robots.allowed.remote([]))
+        ray.get(pings)
 
     # -- seeding -------------------------------------------------------
 

@@ -183,6 +183,12 @@ def build_qri_io_shaped(seed: int = 42) -> tuple[SiteBuilder, dict]:
     # one missing page (404) and one server error (retried then failed)
     b.page(host + "/gone.html", "Gone", [], [], status=404)
     b.page(host + "/flaky.html", "Flaky", [], [], status=500)
+    # robots.txt (only honored when the job sets polite=True)
+    b.asset(
+        host + "/robots.txt",
+        b"User-agent: *\nDisallow: /company/\n",
+        "text/plain; charset=utf-8",
+    )
     for p in pages[:4]:
         pass
     job = {

@@ -80,7 +80,10 @@ def _bench_crawl() -> dict:
     gen = generate_pages("bench", gen_dir, hosts=HOSTS, pages_per_host=PAGES_PER_HOST, seed=42)
 
     workdir = f"/tmp/walk_ray_bench/run_{NUM_CPUS}_{time.monotonic_ns()}"
-    cfg = CrawlConfig.from_job_json(gen["job"], fetch_batch_size=2048, sitemap_json=False)
+    cfg = CrawlConfig.from_job_json(
+        gen["job"], fetch_batch_size=2048, sitemap_json=False,
+        page_parts_dir=os.path.join(gen_dir, f"parts_{max(2, NUM_CPUS // 2)}"),
+    )
     job = CrawlJob(cfg, gen["pages"], gen["pages_meta"], workdir)
     t0 = time.monotonic()
     res = job.run()

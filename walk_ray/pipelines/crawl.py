@@ -103,6 +103,11 @@ class CrawlConfig:
     # lib/resource_handler.go:104-155): bodies/epoch-K parquet keyed by
     # multihash, deduplicated within epoch (identical bodies stored once)
     store_bodies: bool = False
+    # shared page-partition cache dir; empty → per-workdir (the
+    # partitioning job is deterministic and fingerprint-stamped, so a
+    # shared dir lets repeated runs of the same pages table skip it)
+    page_parts_dir: str = ""
+
     # walk-compat single-file JSON sitemap (serial driver write). At
     # scale, set False → distributed sorted parquet sitemap instead.
     sitemap_json: bool = True
@@ -349,7 +354,7 @@ class CrawlJob:
             cfg.n_seen_shards = max(2, ncpu // 2)
         if cfg.n_page_parts <= 0:
             cfg.n_page_parts = max(2, ncpu // 2)
-        part_dir = os.path.join(self.workdir, "page_parts")
+        part_dir = cfg.page_parts_dir or os.path.join(self.workdir, "page_parts")
         prepare_page_partitions(self.pages_path, self.meta_path, part_dir, cfg.n_page_parts)
         Store = ray.remote(PageStore)
         self.stores = [Store.remote(part_dir, i) for i in range(cfg.n_page_parts)]

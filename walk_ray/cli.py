@@ -154,7 +154,14 @@ def main(argv=None) -> int:
     s.set_defaults(fn=cmd_timespan)
 
     args = p.parse_args(argv)
-    return args.fn(args)
+    try:
+        return args.fn(args)
+    except FileNotFoundError as e:
+        print(f"walk_ray: file not found: {e.filename or e}", file=sys.stderr)
+        return 2
+    except json.JSONDecodeError as e:
+        print(f"walk_ray: invalid JSON: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":

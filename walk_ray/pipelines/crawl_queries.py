@@ -39,7 +39,12 @@ def docs_crawl(sf_dir: str) -> dict:
     from ..pipelines.crawl import CrawlConfig, CrawlJob
     from ..sources.testgen import generate_pages
 
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    from ..sources.testgen import GENERATOR_VERSION
+
+    _ENGINE_CACHE_VERSION = 2  # bump when crawl outputs change shape/semantics
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}|g{GENERATOR_VERSION}|e{_ENGINE_CACHE_VERSION}".encode()
+    ).hexdigest()[:12]
     base = f"/tmp/walk_ray_runs/docs_graph_{tag}"
     gen = generate_pages("docs_graph", os.path.join(base, "gen"), sf_dir=sf_dir)
     run_dir = os.path.join(base, "run")

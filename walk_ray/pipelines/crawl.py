@@ -235,14 +235,18 @@ class CommitStage:
             self._push_frontier(rows)
             retried = len(r_idx)
 
-        # 4. candidate links from handled resources
+        # 4. candidate links from EVERY completed resource regardless
+        #    of status — walk expands r.Links for all resources in the
+        #    completion batch (lib/coordinator.go:289-298), including
+        #    404/500 pages and to-be-retried ones; hop/error rows carry
+        #    empty link lists so they contribute nothing.
         #    (candidate filter lib/job.go:250-271)
         links_total = 0
         cand_urls: list[str] = []
         cand_disc: list[int] = []
         if cfg.crawl:
-            links_col = handled["links"].to_pylist() if handled.num_rows else []
-            h_seqs = handled["seq"].to_pylist() if handled.num_rows else []
+            links_col = batch["links"].to_pylist()
+            h_seqs = seqs
             is_cand = self.filter
             # per-completion-batch dedup with min discovery key (walk's
             # links map, lib/coordinator.go:277-300 / A1+D3) — shrinks
@@ -280,9 +284,10 @@ class CommitStage:
                 )
             ray.get(waits)
 
-        stop_hit = bool(cfg.stop_url) and any(
-            u == cfg.stop_url for u, d in zip(urls, done_mask) if d
-        )
+        # StopURL fires on every dequeued resource URL regardless of
+        # status — walk checks job.cfg.StopURL == fr.URL in the
+        # dequeue defer for all completions (lib/coordinator.go:355-366)
+        stop_hit = bool(cfg.stop_url) and any(u == cfg.stop_url for u in urls)
         self.metrics.add.remote(
             {
                 "fetched": n,

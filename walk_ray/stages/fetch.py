@@ -139,7 +139,11 @@ class FetchStage:
                                 redirect_to="",
                                 redirect_from="",
                                 content_type="",
-                                error=f'Get "{cols["url"][idx]}": stopped after 10 redirects',
+                                # Go's net/http wraps the CheckRedirect
+                                # error in a url.Error carrying the URL
+                                # of the attempted (target) request, not
+                                # the original one (lib/worker.go:222-224)
+                                error=f'Get "{redirect_to}": stopped after 10 redirects',
                                 html=b"",
                                 timestamp=ts,
                                 is_hop=False,

@@ -137,6 +137,16 @@ class FrontierShard:
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
         os.replace(tmp, path)
+        # host_next (per-host politeness virtual clock) rides in a
+        # sidecar — without it a resumed delayed crawl would assign
+        # different fetch_after values than the uninterrupted run.
+        import json
+
+        hpath = os.path.join(directory, f"frontier-{self.shard_id:05d}.hosts.json")
+        tmp = hpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.host_next, f)
+        os.replace(tmp, hpath)
         return path
 
     def restore(self, directory: str) -> int:
@@ -144,6 +154,12 @@ class FrontierShard:
         t = pq.read_table(path)
         self.queues.clear()
         self.host_next.clear()
+        import json
+
+        hpath = os.path.join(directory, f"frontier-{self.shard_id:05d}.hosts.json")
+        if os.path.exists(hpath):
+            with open(hpath) as f:
+                self.host_next = {h: float(v) for h, v in json.load(f).items()}
         self.buffer = list(zip(*(t[c].to_pylist() for c in FRONTIER_COLS))) if t.num_rows else []
         self.total = t.num_rows
         return t.num_rows

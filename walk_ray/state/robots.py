@@ -19,7 +19,7 @@ def parse_robots(body: bytes) -> list[tuple[str, bool]]:
     """Rules for ``User-agent: *`` as ``(path_prefix, allowed)``."""
     rules: list[tuple[str, bool]] = []
     in_star = False
-    saw_agent = False
+    in_agent_run = False  # inside a run of consecutive User-agent lines
     for raw in body.decode("utf-8", errors="replace").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -28,16 +28,23 @@ def parse_robots(body: bytes) -> list[tuple[str, bool]]:
         field = field.strip().lower()
         value = value.strip()
         if field == "user-agent":
-            if saw_agent and rules:
-                # a new group after rules ends the * group
-                in_star = value == "*" or in_star
-            in_star = value == "*"
-            saw_agent = True
-        elif field in ("disallow", "allow") and in_star:
+            # a group is a run of consecutive User-agent lines followed
+            # by rules (RFC 9309 §2.1); the group applies to * iff ANY
+            # agent line in the run is *. A new run resets the flag.
+            if not in_agent_run:
+                in_star = False
+                in_agent_run = True
+            in_star = in_star or value == "*"
+        elif field in ("disallow", "allow"):
+            in_agent_run = False
+            if not in_star:
+                continue
             if value:
                 rules.append((value, field == "allow"))
             elif field == "disallow":
                 pass  # empty Disallow = allow all (no rule)
+        else:
+            in_agent_run = False  # any other directive ends the run
     return rules
 
 

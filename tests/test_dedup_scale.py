@@ -1,0 +1,89 @@
+"""Quantitative gates for the approximate dedup paths (the ops the
+driver can only rows-only check): pin them against exact computations
+at small scale so regressions in the LSH/banding logic are caught.
+
+Also locks in the round-2 scale contract: no driver-side
+materialization of per-doc state in any dedup pipeline — signatures
+ride on band rows, candidate pairs are the broadcast side, and pair
+emission is at-most-once by first-colliding-band, so outputs need no
+dedup shuffle.
+"""
+
+import itertools
+
+import pytest
+
+from walk_ray.pipelines import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_precision_recall_vs_exact():
+    """Estimated-Jaccard LSH pairs vs exact unigram Jaccard at the
+    bench threshold: precision ≥ 0.85, recall ≥ 0.5 (measured 0.93 /
+    0.69 at these parameters — the est filter at high thresholds is
+    conservative by design)."""
+    est = dedup.minhash_lsh_pairs(SF, ngram=1, threshold=0.9).to_pandas()
+    exact = dedup.ngram_jaccard_pairs(SF, n=1, threshold=0.9, exact=True).to_pandas()
+    est_set = set(zip(est["a"], est["b"]))
+    ex_set = set(zip(exact["a"], exact["b"]))
+    assert est_set, "LSH produced no pairs"
+    tp = len(est_set & ex_set)
+    assert tp / len(est_set) >= 0.85  # precision
+    assert tp / len(ex_set) >= 0.5  # recall
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_pairs_globally_unique():
+    est = dedup.minhash_lsh_pairs(SF, ngram=1, threshold=0.9).to_pandas()
+    assert not est.duplicated(["a", "b"]).any()
+    assert (est["a"] < est["b"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_equals_bruteforce():
+    """4×16-bit banding has EXACT recall at Hamming ≤ 3 (pigeonhole:
+    ≤3 differing bits leave one band clean), so the pipeline must
+    equal the all-pairs scan over the same signatures."""
+    sigs = dedup._docs(SF).map_batches(dedup.SimHasher(), batch_format="pandas").to_pandas()
+    brute = set()
+    rows = sorted(zip(sigs["doc_id"], sigs["simhash"]))
+    for (a, ha), (b, hb) in itertools.combinations(rows, 2):
+        if bin(int(ha) ^ int(hb)).count("1") <= 3:
+            brute.add((int(a), int(b)))
+    pipe = dedup.simhash_dedup(SF, max_hamming=3).to_pandas()
+    assert set(zip(pipe["a"], pipe["b"])) == brute
+    assert not pipe.duplicated(["a", "b"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_scale_path_equals_exact():
+    """The pairs ⋈ grams verification path must agree with the
+    all-pairs baseline wherever LSH recall allows; at unigram/0.9 on
+    this data the candidate set covers every exact pair."""
+    scale = dedup.ngram_jaccard_pairs(SF, n=1, threshold=0.9, exact=False).to_pandas()
+    exact = dedup.ngram_jaccard_pairs(SF, n=1, threshold=0.9, exact=True).to_pandas()
+    s = set(zip(scale["a"], scale["b"]))
+    e = set(zip(exact["a"], exact["b"]))
+    assert s <= e  # exact verify → no false positives, ever
+    assert len(s & e) / len(e) >= 0.95  # recall via LSH blocking
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_ivf_blocked_agrees_with_exact():
+    """IVF-cell blocking is a recall refinement of the exact all-pairs
+    path: identical clusters at small scale (multi-assign cells give
+    full recall here), and blocked pairs are always a subset with
+    exactly-computed cosines."""
+    ivf = dedup.embedding_dedup(SF, threshold=0.4, method="ivf").to_pandas()
+    exact = dedup.embedding_dedup(SF, threshold=0.4, method="exact").to_pandas()
+    assert ivf.equals(exact)
+
+    pairs = dedup.embedding_cosine_pairs_blocked(SF, threshold=0.4).to_pandas()
+    exact_pairs = dedup.embedding_cosine_pairs(SF, threshold=0.4).to_pandas()
+    p = set(zip(pairs["a"], pairs["b"]))
+    ep = set(zip(exact_pairs["a"], exact_pairs["b"]))
+    assert p <= ep
+    assert len(p) / max(len(ep), 1) >= 0.95
+    assert not pairs.duplicated(["a", "b"]).any()

@@ -6,18 +6,21 @@ Five strategies, each the canonical large-scale shape:
   ``groupby(hash)`` keep min doc_id. The grouped shuffle moves only
   (hash, doc_id) pairs, never text.
 - :func:`minhash_lsh_dedup` — shingle → minhash signature (vectorized
-  numpy) → banded LSH bucket groupby → candidate pairs → signature-
-  estimated Jaccard verify → connected components. The scale path for
-  near-dup text.
+  numpy) → banded LSH bucket groupby with the signature riding ON the
+  band rows → in-bucket estimated-Jaccard verify → connected
+  components. The scale path for near-dup text: no driver
+  materialization of per-doc state anywhere.
 - :func:`simhash_dedup` — 64-bit simhash over token features, banded
-  into 4×16-bit keys; candidates verified by Hamming distance.
+  into 4×16-bit keys (exact recall at Hamming ≤ 3 by pigeonhole); the
+  8-byte hash rides on the band rows, buckets verify locally.
 - :func:`ngram_jaccard_pairs` — EXACT word-n-gram Jaccard similarity
-  pairs. ``exact=True`` runs the all-pairs baseline (small scale /
-  oracle-checkable); otherwise pairs come from MinHash-LSH candidates
-  and only those are exactly verified.
+  pairs. ``exact=True`` runs the all-pairs broadcast baseline (small
+  scale / oracle-checkable only); ``exact=False`` is the scale path:
+  MinHash-LSH candidates, then a pairs ⋈ grams ``groupby(pair_id)``
+  join shuffles only candidate docs' gram sets.
 - :func:`embedding_cosine_pairs` / :func:`embedding_dedup` — near-dup
-  by embedding cosine; exact blocked matmul baseline + cluster
-  reduction.
+  by embedding cosine; exact blocked-matmul baseline plus an
+  IVF-cell-blocked scale path (:func:`embedding_cosine_pairs_blocked`).
 
 Connected components run on the driver over the verified-pair set
 only (provably small: pairs above threshold), per the documented
@@ -35,10 +38,12 @@ import pyarrow as pa
 __all__ = [
     "exact_dedup",
     "minhash_signatures",
+    "minhash_lsh_pairs",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
+    "embedding_cosine_pairs_blocked",
     "embedding_dedup",
 ]
 
@@ -126,73 +131,85 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128, ngram: int = 3):
     )
 
 
-def minhash_lsh_dedup(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
+def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
                       threshold: float = 0.5):
-    """Near-dup clusters: banded LSH → candidate pairs → signature-
-    estimated Jaccard ≥ threshold → min-label connected components.
+    """Banded-LSH candidate pairs with signature-estimated Jaccard ≥
+    ``threshold``: (a, b, est_jaccard), deduplicated across bands.
 
-    Returns (doc_id, cluster_id) for every doc in some cluster of
-    size ≥ 2; cluster_id = min doc_id of the cluster.
+    100-TB shape: the full signature rides ON each band row
+    (fixed-width ``num_perm × 8`` bytes), so every LSH bucket verifies
+    its candidate pairs locally inside ``map_groups`` — no driver
+    materialization, no signature broadcast, and the signature dataset
+    is computed exactly once (the band stage is its only consumer).
+    The only wide step is the band groupby; what it moves is
+    (doc_id, band_hash, sig_bytes), never text.
     """
-    import ray
-    import ray.data as rd
-
     rows_per_band = num_perm // bands
     sigs = minhash_signatures(sf_dir, num_perm, ngram)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes = [], [], []
+        doc_ids, band_ids, band_hashes, sig_bytes = [], [], [], []
         for doc, sig in zip(batch["doc_id"], batch["sig"]):
             s = np.asarray(sig, dtype=np.uint64)
+            raw = s.tobytes()
             for b in range(bands):
                 chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
                 band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
                 band_ids.append(b)
                 doc_ids.append(doc)
-        return pd.DataFrame({"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes})
+                sig_bytes.append(raw)
+        return pd.DataFrame(
+            {"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes,
+             "sig": sig_bytes}
+        )
 
-    # signatures are also needed for verification — they're compact
-    # (num_perm u64 per doc), so broadcast them.
-    sig_map = {r["doc_id"]: np.asarray(r["sig"], dtype=np.uint64) for r in sigs.take_all()}
-    sig_ref = ray.put(sig_map)
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        """All pairs within one LSH bucket, est-Jaccard filtered using
+        the signatures carried on the rows (bucket-local state only).
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
+        At-most-once emission without any pair-dedup shuffle: both
+        full signatures are in the bucket, so the bucket can see every
+        OTHER band the pair collides in and emits only when the
+        current band is the FIRST colliding one — output pairs are
+        globally unique by construction.
+        """
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")}
+        )
+        band = int(g["band_id"].iloc[0])
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        out = {"a": [], "b": [], "est_jaccard": []}
         for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
+            comp_eq = mat[i] == mat[i + 1 :]  # (n-i-1, num_perm)
+            eq = comp_eq.mean(axis=1)
+            hits = np.nonzero(eq >= threshold)[0]
+            for h in hits:
+                band_hits = comp_eq[h].reshape(bands, rows_per_band).all(axis=1)
+                if int(np.argmax(band_hits)) != band:  # not first collision
+                    continue
+                out["a"].append(int(ids[i]))
+                out["b"].append(int(ids[i + 1 + h]))
+                out["est_jaccard"].append(round(float(eq[h]), 6))
+        return pd.DataFrame(out) if out["a"] else empty
 
-    pairs = (
+    return (
         sigs.map_batches(band_rows, batch_format="pandas")
         .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_verify, batch_format="pandas")
     )
 
-    class Verify:
-        def __init__(self):
-            self._sigs = None
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self._sigs is None:  # lazy zero-copy fetch, once per task
-                self._sigs = ray.get(sig_ref)
-            batch = batch.drop_duplicates(["a", "b"])
-            keep_a, keep_b, est = [], [], []
-            for a_, b_ in zip(batch["a"], batch["b"]):
-                sa, sb = self._sigs[a_], self._sigs[b_]
-                j = float((sa == sb).mean())
-                if j >= threshold:
-                    keep_a.append(a_)
-                    keep_b.append(b_)
-                    est.append(round(j, 6))
-            return pd.DataFrame({"a": keep_a, "b": keep_b, "est_jaccard": est})
+def _components(edges: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
+    """Min-label connected components over a verified-pair edge list.
 
-    verified = pairs.map_batches(Verify(), batch_format="pandas")
-
-    # connected components on the (small) verified pair set
-    edge_df = verified.to_pandas().drop_duplicates(["a", "b"])
+    Driver-side by documented design: the edge set is the pairs ABOVE
+    the similarity threshold — provably small relative to the corpus
+    (it is the dedup output itself)."""
     parent: dict[int, int] = {}
 
     def find(x):
@@ -201,16 +218,29 @@ def minhash_lsh_dedup(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
             x = parent[x]
         return x
 
-    for a_, b_ in zip(edge_df["a"], edge_df["b"]):
+    for a_, b_ in zip(edges["a"], edges["b"]):
         ra, rb = find(int(a_)), find(int(b_))
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     clusters: dict[int, int] = {x: find(x) for x in parent}
-    out = pd.DataFrame(
-        sorted(clusters.items()), columns=["doc_id", "cluster_id"]
-    ) if clusters else pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                     "cluster_id": pd.Series([], dtype="int64")})
-    return rd.from_pandas(out)
+    if not clusters:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return pd.DataFrame(sorted(clusters.items()), columns=[id_col, "cluster_id"])
+
+
+def minhash_lsh_dedup(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
+                      threshold: float = 0.5):
+    """Near-dup clusters: banded LSH → in-bucket signature-estimated
+    Jaccard ≥ threshold → min-label connected components.
+
+    Returns (doc_id, cluster_id) for every doc in some cluster of
+    size ≥ 2; cluster_id = min doc_id of the cluster.
+    """
+    import ray.data as rd
+
+    pairs = minhash_lsh_pairs(sf_dir, num_perm, bands, ngram, threshold)
+    return rd.from_pandas(_components(pairs.to_pandas()))
 
 
 # -------------------------------------------------------------- simhash
@@ -247,59 +277,68 @@ class SimHasher:
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3):
-    """Near-dup pairs by simhash: 4×16-bit band blocking → Hamming
-    verify ≤ max_hamming. Returns (a, b, hamming)."""
-    import ray
+    """Near-dup pairs by simhash: 4×16-bit band blocking → in-bucket
+    Hamming verify ≤ max_hamming. Returns (a, b, hamming).
+
+    Recall is EXACT by pigeonhole: ≤3 differing bits across 4 bands
+    leaves at least one band identical, so every qualifying pair
+    shares a bucket. The 8-byte simhash rides on each band row — the
+    bucket verifies locally, no driver materialization or broadcast.
+    """
     import ray.data as rd
 
     sigs = _docs(sf_dir).map_batches(SimHasher(), batch_format="pandas")
-    sig_map = dict(zip(*(lambda df: (df["doc_id"], df["simhash"]))(sigs.to_pandas())))
-    sig_ref = ray.put({int(k): int(v) for k, v in sig_map.items()})
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band_id": [], "band_val": []}
+        rows = {"doc_id": [], "band_id": [], "band_val": [], "simhash": []}
         for doc, h in zip(batch["doc_id"], batch["simhash"]):
             h = int(h)
             for b in range(4):
                 rows["doc_id"].append(doc)
                 rows["band_id"].append(b)
                 rows["band_val"].append((h >> (16 * b)) & 0xFFFF)
-        return pd.DataFrame(rows)
+                rows["simhash"].append(h)
+        out = pd.DataFrame({"doc_id": rows["doc_id"], "band_id": rows["band_id"],
+                            "band_val": rows["band_val"]})
+        out["simhash"] = pd.Series(rows["simhash"], dtype="uint64").values
+        return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        a, b = [], []
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        """Hamming-verify within one 16-bit-band bucket; a pair is
+        emitted only in the FIRST band whose chunks are equal (both
+        hashes are on the rows), so pairs are globally unique with no
+        pair-dedup shuffle."""
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "hamming": pd.Series([], dtype="int64")}
+        )
+        band = int(g["band_id"].iloc[0])
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        hs = g["simhash"].to_numpy(dtype=np.uint64)
+        out = {"a": [], "b": [], "hamming": []}
         for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"a": a, "b": b})
-
-    class Verify:
-        def __init__(self):
-            self._sigs = None
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self._sigs is None:
-                self._sigs = ray.get(sig_ref)
-            batch = batch.drop_duplicates(["a", "b"])
-            keep = {"a": [], "b": [], "hamming": []}
-            for a_, b_ in zip(batch["a"], batch["b"]):
-                d = bin(self._sigs[int(a_)] ^ self._sigs[int(b_)]).count("1")
-                if d <= max_hamming:
-                    keep["a"].append(a_)
-                    keep["b"].append(b_)
-                    keep["hamming"].append(d)
-            return pd.DataFrame(keep)
+            x = hs[i] ^ hs[i + 1 :]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            for h in np.nonzero(d <= max_hamming)[0]:
+                xv = int(x[h])
+                first = next(b for b in range(4) if (xv >> (16 * b)) & 0xFFFF == 0)
+                if first != band:
+                    continue
+                out["a"].append(int(ids[i]))
+                out["b"].append(int(ids[i + 1 + h]))
+                out["hamming"].append(int(d[h]))
+        return pd.DataFrame(out) if out["a"] else empty
 
     pairs = (
         sigs.map_batches(band_rows, batch_format="pandas")
         .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .map_batches(Verify(), batch_format="pandas")
+        .map_groups(bucket_verify, batch_format="pandas")
     )
-    # global pair dedup (a pair can match in several bands)
-    df = pairs.to_pandas().drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    # final ordering at result scale only
+    df = pairs.to_pandas().sort_values(["a", "b"])
     return rd.from_pandas(df.reset_index(drop=True))
 
 
@@ -309,10 +348,14 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     """Pairs (a, b, jaccard≥threshold) over word-n-gram sets.
 
     ``exact=True``: blocked all-pairs baseline — each batch of docs is
-    compared against the broadcast full gram-set dict. Quadratic;
-    intended for oracle verification and small inputs. With
-    ``exact=False`` candidates come from MinHash-LSH first (scale
-    path) and only candidates are exactly verified.
+    compared against the broadcast full gram-set dict. Quadratic AND
+    whole-dataset-broadcast; intended ONLY for oracle verification at
+    small scale. ``exact=False`` is the 100-TB path: candidate pairs
+    come from MinHash-LSH blocking (a small set, by the LSH design
+    assumption), the candidate PAIR LIST is the broadcast side, and
+    only the gram sets of candidate docs are shuffled — via a
+    ``groupby(pair_id)`` join — so corpus-sized state never leaves the
+    Dataset and never lands on the driver.
     """
     import ray
     import ray.data as rd
@@ -330,10 +373,11 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         )
 
     grams_ds = docs.map_batches(gram_sets, batch_format="pandas")
-    gram_map = {int(r["doc_id"]): set(r["grams"]) for r in grams_ds.take_all()}
-    gram_ref = ray.put(gram_map)
 
     if exact:
+        gram_map = {int(r["doc_id"]): set(r["grams"]) for r in grams_ds.take_all()}
+        gram_ref = ray.put(gram_map)
+
         class AllPairs:
             def __init__(self):
                 self._grams = None
@@ -365,27 +409,80 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         df = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
         return rd.from_pandas(df)
 
-    cand = minhash_lsh_dedup(sf_dir, threshold=0.0)  # cluster step skipped below
+    # --- scale path: LSH candidates, exact verify via pairs ⋈ grams ---
+    # candidate pairs from banded LSH (est filter slightly below the
+    # target threshold for recall headroom; exact verify prunes after)
+    cand = minhash_lsh_pairs(sf_dir, ngram=n,
+                             threshold=max(0.0, threshold - 0.2)).to_pandas()
+    # the PAIR LIST is the small side (LSH-blocked); broadcast a
+    # doc -> [(pair_id, side)] membership map, never the gram sets
+    membership: dict[int, list[tuple[int, int]]] = {}
+    pair_ids: dict[int, tuple[int, int]] = {}
+    for pid, (a_, b_) in enumerate(zip(cand["a"], cand["b"])):
+        pair_ids[pid] = (int(a_), int(b_))
+        membership.setdefault(int(a_), []).append((pid, 0))
+        membership.setdefault(int(b_), []).append((pid, 1))
+    if not pair_ids:
+        return rd.from_pandas(pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")}))
+    member_ref = ray.put(membership)
 
-    class VerifyExact:
+    class EmitPairGrams:
+        """Emit (pair_id, side, grams) rows for candidate docs only —
+        the corpus-sized grams column is filtered to candidate
+        membership before the only shuffle."""
+
         def __init__(self):
-            self._grams = None
+            self._members = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self._grams is None:
-                self._grams = ray.get(gram_ref)
-            out = {"a": [], "b": [], "jaccard": []}
-            for a_, b_ in zip(batch["a"], batch["b"]):
-                ga, gb = self._grams[int(a_)], self._grams[int(b_)]
-                inter = len(ga & gb)
-                j = inter / (len(ga) + len(gb) - inter) if inter else 0.0
-                if j >= threshold:
-                    out["a"].append(int(a_))
-                    out["b"].append(int(b_))
-                    out["jaccard"].append(round(j, 6))
+            if self._members is None:
+                self._members = ray.get(member_ref)
+            out = {"pair_id": [], "side": [], "grams": []}
+            for doc, grams in zip(batch["doc_id"], batch["grams"]):
+                for pid, side in self._members.get(int(doc), ()):
+                    out["pair_id"].append(pid)
+                    out["side"].append(side)
+                    out["grams"].append(list(grams))
+            if not out["pair_id"]:
+                return pd.DataFrame(
+                    {"pair_id": pd.Series([], dtype="int64"),
+                     "side": pd.Series([], dtype="int64"),
+                     "grams": pd.Series([], dtype="object")})
             return pd.DataFrame(out)
 
-    return cand.map_batches(VerifyExact(), batch_format="pandas")
+    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"pair_id": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")})
+        if len(g) != 2:
+            return empty
+        g = g.sort_values("side")
+        ga, gb = set(g["grams"].iloc[0]), set(g["grams"].iloc[1])
+        inter = len(ga & gb)
+        j = inter / (len(ga) + len(gb) - inter) if inter else 0.0
+        if j < threshold:
+            return empty
+        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
+                             "jaccard": [round(j, 6)]})
+
+    verified = (
+        grams_ds.map_batches(EmitPairGrams(), batch_format="pandas")
+        .groupby("pair_id")
+        .map_groups(verify_pair, batch_format="pandas")
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {"a": [pair_ids[int(p)][0] for p in verified["pair_id"]],
+         "b": [pair_ids[int(p)][1] for p in verified["pair_id"]],
+         "jaccard": verified["jaccard"]}
+    ).sort_values(["a", "b"]).reset_index(drop=True)
+    if out.empty:
+        out = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "jaccard": pd.Series([], dtype="float64")})
+    return rd.from_pandas(out)
 
 
 # ---------------------------------------------------------- embeddings
@@ -439,28 +536,111 @@ def embedding_cosine_pairs(sf_dir: str, threshold: float = 0.9):
     return rd.from_pandas(df)
 
 
-def embedding_dedup(sf_dir: str, threshold: float = 0.9):
-    """Near-dup clusters from cosine pairs (min-label components)."""
+def embedding_cosine_pairs_blocked(sf_dir: str, threshold: float = 0.9,
+                                   nlist: int = 16, nassign: int = 6,
+                                   sample: int = 4096, seed: int = 11):
+    """IVF-blocked near-dup pairs (the 100-TB path): each vector is
+    assigned to its ``nassign`` nearest coarse cells, pairwise cosine
+    runs ONLY within a cell (``groupby(cell).map_groups`` matmul), and
+    pairs dedupe across cells. Precision is exact (cosine computed on
+    the true vectors); recall depends on cell overlap — two vectors
+    must share at least one of their ``nassign`` cells. Scales as
+    O(N²/nlist · nassign²) vs the baseline's O(N²) with no broadcast
+    of the full matrix.
+
+    Centroids come from a deterministic k-means over a bounded Dataset
+    sample (``limit(sample)``) — the driver never reads the full table.
+    """
+    import ray
     import ray.data as rd
 
-    edges = embedding_cosine_pairs(sf_dir, threshold).to_pandas()
-    parent: dict[int, int] = {}
+    from .similarity import kmeans_fit
 
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a_, b_ in zip(edges["a"], edges["b"]):
-        ra, rb = find(int(a_)), find(int(b_))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    clusters = {x: find(x) for x in parent}
-    out = (
-        pd.DataFrame(sorted(clusters.items()), columns=["vec_id", "cluster_id"])
-        if clusters
-        else pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
-                           "cluster_id": pd.Series([], dtype="int64")})
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    train = np.asarray(
+        emb.limit(sample).to_pandas()["embedding"].tolist(), dtype=np.float64
     )
+    norms = np.linalg.norm(train, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    centroids = kmeans_fit(train / norms, min(nlist, len(train)), seed=seed)
+    cent_ref = ray.put(centroids)
+    k_assign = min(nassign, len(centroids))
+
+    class AssignCells:
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self._c is None:
+                self._c = ray.get(cent_ref)
+            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
+            nrm = np.linalg.norm(vecs, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            vecs = vecs / nrm
+            sims = vecs @ self._c.T  # (B, nlist)
+            cells = np.argsort(-sims, axis=1)[:, :k_assign]
+            vids = batch["vec_id"].to_numpy()
+            out_v, out_c, out_e, out_cl = [], [], [], []
+            for i in range(len(vids)):
+                raw = vecs[i].tobytes()
+                # the row carries its full cell-assignment set so a
+                # pair can be emitted exactly once (in the min shared
+                # cell) with no cross-cell dedup shuffle
+                cl = np.sort(cells[i].astype(np.int64)).tobytes()
+                for c in cells[i]:
+                    out_v.append(int(vids[i]))
+                    out_c.append(int(c))
+                    out_e.append(raw)
+                    out_cl.append(cl)
+            return pd.DataFrame(
+                {"vec_id": out_v, "cell": out_c, "vec": out_e, "cells": out_cl})
+
+    def cell_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Pairwise cosine within one cell; a pair is emitted only
+        when this cell is the MIN cell shared by both assignment sets
+        (carried on the rows) — globally unique output, no dedup
+        shuffle."""
+        empty = pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+             "cosine": pd.Series([], dtype="float64")})
+        cell = int(g["cell"].iloc[0])
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = g["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return empty
+        mat = np.stack([np.frombuffer(v, dtype=np.float64) for v in g["vec"]])
+        cell_sets = [set(np.frombuffer(c, dtype=np.int64).tolist()) for c in g["cells"]]
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not len(ii):
+            return empty
+        keep = [k for k in range(len(ii))
+                if min(cell_sets[ii[k]] & cell_sets[jj[k]]) == cell]
+        if not keep:
+            return empty
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame(
+            {"a": ids[ii].astype("int64"), "b": ids[jj].astype("int64"),
+             "cosine": np.round(sims[ii, jj], 6)})
+
+    return (
+        emb.map_batches(AssignCells(), batch_format="pandas", batch_size=1024)
+        .groupby("cell")
+        .map_groups(cell_pairs, batch_format="pandas")
+    )
+
+
+def embedding_dedup(sf_dir: str, threshold: float = 0.9, method: str = "ivf"):
+    """Near-dup clusters from cosine pairs (min-label components).
+
+    ``method="ivf"`` (default) blocks comparisons by IVF cell — the
+    scale path; ``method="exact"`` is the all-pairs oracle baseline.
+    """
+    import ray.data as rd
+
+    if method == "ivf":
+        edges = embedding_cosine_pairs_blocked(sf_dir, threshold).to_pandas()
+    else:
+        edges = embedding_cosine_pairs(sf_dir, threshold).to_pandas()
+    out = _components(edges, id_col="vec_id")
     return rd.from_pandas(out)

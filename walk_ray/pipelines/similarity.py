@@ -22,15 +22,26 @@ import pandas as pd
 __all__ = ["ann_brute_topk", "ann_ivf_topk", "kmeans_fit"]
 
 
-def _load_matrix(sf_dir: str):
+def _load_query_vectors(sf_dir: str, query_ids: list[int]) -> np.ndarray:
+    """Read ONLY the query rows via parquet predicate pushdown — the
+    driver never materializes the embeddings table."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(query_ids))],
+    )
+    pos = {int(v): i for i, v in enumerate(t["vec_id"].to_pylist())}
+    missing = [q for q in query_ids if int(q) not in pos]
+    if missing:
+        raise KeyError(f"query vec_ids not found: {missing}")
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)[
+        [pos[int(q)] for q in query_ids]
+    ]
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
-    return ids, mat / norms, mat
+    return mat / norms
 
 
 def ann_brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10):
@@ -43,9 +54,7 @@ def ann_brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10)
     import ray.data as rd
 
     query_ids = query_ids if query_ids is not None else list(range(10))
-    ids, norm_mat, _ = _load_matrix(sf_dir)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    q_mat = norm_mat[[pos[q] for q in query_ids]]  # (Q, D)
+    q_mat = _load_query_vectors(sf_dir, query_ids)  # (Q, D)
     q_ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat))
 
     class PartialTopK:
@@ -116,12 +125,23 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     import ray
     import ray.data as rd
 
+    import ray.data as rd_
+
     query_ids = query_ids if query_ids is not None else list(range(10))
-    ids, norm_mat, _ = _load_matrix(sf_dir)
-    pos = {int(v): i for i, v in enumerate(ids)}
-    train = norm_mat[: min(sample, len(norm_mat))]
+    # quantizer trains on a bounded Dataset sample; queries come from a
+    # pushed-down filtered read — no full-table driver materialization
+    train = np.asarray(
+        rd_.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .limit(sample)
+        .to_pandas()["embedding"]
+        .tolist(),
+        dtype=np.float64,
+    )
+    tn = np.linalg.norm(train, axis=1, keepdims=True)
+    tn[tn == 0] = 1.0
+    train = train / tn
     centroids = kmeans_fit(train, min(nlist, len(train)), seed=seed)
-    q_mat = norm_mat[[pos[q] for q in query_ids]]
+    q_mat = _load_query_vectors(sf_dir, query_ids)
     probe_lists = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat, centroids, probe_lists))
 

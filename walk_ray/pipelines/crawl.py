@@ -318,6 +318,34 @@ def _push_rows_to_frontier(frontier_handles, rows: dict) -> None:
     ray.get(waits)
 
 
+def _attach_seq_impl(table: pa.Table, seqs, epoch: int, order_path: str, n_chunks: int):
+    """Remote task: stamp the epoch + globally-assigned seq column onto
+    one frontier shard's popped rows (which never visit the driver),
+    write the shard's slice of the crawl-order golden, and return the
+    table pre-split into ``n_chunks`` blocks for the epoch Dataset."""
+    n = table.num_rows
+    table = table.set_column(
+        table.schema.get_field_index("epoch"), "epoch", pa.array([epoch] * n, pa.int32())
+    )
+    table = table.append_column("seq", pa.array(seqs, pa.int64()))
+    order_t = pa.table(
+        {
+            "epoch": table["epoch"],
+            "seq": table["seq"],
+            "url": table["url"],
+            "fetch_after": table["fetch_after"],
+        }
+    )
+    tmp = order_path + ".tmp"
+    pq.write_table(order_t, tmp)
+    os.replace(tmp, order_path)
+    step = (n + n_chunks - 1) // n_chunks
+    chunks = [table.slice(i, step) for i in range(0, n, step)]
+    while len(chunks) < n_chunks:
+        chunks.append(table.schema.empty_table())
+    return chunks[0] if n_chunks == 1 else tuple(chunks)
+
+
 class _Metrics:
     """Tiny counter actor: per-epoch counters accumulated from stages."""
 
@@ -371,6 +399,7 @@ class CrawlJob:
         ]
         self.robots = ray.remote(RobotsCache).remote(self.stores) if cfg.polite else None
         self.metrics_actor = ray.remote(_Metrics).remote()
+        self._attach_seq = ray.remote(_attach_seq_impl)
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects)
         self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
                                         self.metrics_actor)
@@ -453,18 +482,23 @@ class CrawlJob:
             def _mark(label):
                 if debug:
                     _marks.append((label, time.monotonic()))
-            pops = ray.get(
+            # pops stay in the object store: each shard ships the
+            # driver only the narrow linearization keys (~28 B/row)
+            # plus an ObjectRef to its popped rows. URLs and all other
+            # payload go straight from shard to fetch tasks.
+            import numpy as np
+
+            results = ray.get(
                 [
-                    f.pop_ready.remote(self.vnow, cfg.horizon_sec,
-                                       cfg.max_pop_per_epoch // len(self.frontier) + 1)
+                    f.pop_ready_refs.remote(self.vnow, cfg.horizon_sec,
+                                            cfg.max_pop_per_epoch // len(self.frontier) + 1)
                     for f in self.frontier
                 ]
             )
-            merged = {c: [] for c in (*FRONTIER_COLS, "fetch_after")}
-            for p in pops:
-                for c in merged:
-                    merged[c].extend(p[c])
-            n_pop = len(merged["url"])
+            keys_list = [k for k, _ in results]
+            table_refs = [r for _, r in results]
+            lens = [len(k["epoch"]) for k in keys_list]
+            n_pop = int(sum(lens))
             _mark("pop")
             if n_pop == 0:
                 sizes = ray.get([f.size.remote() for f in self.frontier])
@@ -475,44 +509,18 @@ class CrawlJob:
                 self.vnow = max(self.vnow, min(nexts))
                 continue
 
-            # canonical linearization + global seq assignment
-            order = sorted(
-                range(n_pop),
-                key=lambda i: (
-                    merged["epoch"][i],
-                    merged["fetch_after"][i],
-                    merged["parent_seq"][i],
-                    merged["link_idx"][i],
-                ),
-            )
-            seqs = [0] * n_pop
-            for rank, i in enumerate(order):
-                seqs[i] = self.seq_counter + rank
+            # canonical linearization (epoch, fetch_after, parent_seq,
+            # link_idx) + global dense seq assignment — a vectorized
+            # stable lexsort over the key arrays only (identical order
+            # to the old per-tuple Python sort, shard-count-independent)
+            ep = np.concatenate([k["epoch"] for k in keys_list])
+            fa = np.concatenate([k["fetch_after"] for k in keys_list])
+            ps = np.concatenate([k["parent_seq"] for k in keys_list])
+            li = np.concatenate([k["link_idx"] for k in keys_list])
+            order = np.lexsort((li, ps, fa, ep))  # last key is primary
+            seqs_all = np.empty(n_pop, dtype=np.int64)
+            seqs_all[order] = self.seq_counter + np.arange(n_pop, dtype=np.int64)
             self.seq_counter += n_pop
-            pop_table = pa.table(
-                {
-                    "url": pa.array(merged["url"], pa.string()),
-                    "host": pa.array(merged["host"], pa.string()),
-                    "job_id": pa.array(merged["job_id"], pa.string()),
-                    "attempts": pa.array(merged["attempts"], pa.int32()),
-                    "prev_status": pa.array(merged["prev_status"], pa.int32()),
-                    "epoch": pa.array([epoch] * n_pop, pa.int32()),
-                    "parent_seq": pa.array(merged["parent_seq"], pa.int64()),
-                    "link_idx": pa.array(merged["link_idx"], pa.int32()),
-                    "fetch_after": pa.array(merged["fetch_after"], pa.float64()),
-                    "seq": pa.array(seqs, pa.int64()),
-                }
-            )
-            # crawl-order golden (epoch, seq, url)
-            order_t = pa.table(
-                {
-                    "epoch": pa.array([epoch] * n_pop, pa.int32()),
-                    "seq": pop_table["seq"],
-                    "url": pop_table["url"],
-                    "fetch_after": pop_table["fetch_after"],
-                }
-            )
-            pq.write_table(order_t, os.path.join(self.order_root, f"epoch-{epoch:05d}.parquet"))
             _mark("order_sort_write")
 
             res_dir = os.path.join(self.resources_root, f"epoch-{epoch:05d}")
@@ -524,11 +532,29 @@ class CrawlJob:
             # actor-pool spin-up); the heavy state lives in the
             # PageStore/Seen/Frontier actors they call into.
             self.commit_stage.resources_dir = res_dir
-            # pre-chunked blocks (no repartition pass needed)
-            n_blocks = max(1, min(64, n_pop // cfg.fetch_batch_size + 1))
-            step = (n_pop + n_blocks - 1) // n_blocks
-            chunks = [pop_table.slice(i, step) for i in range(0, n_pop, step)]
-            ds = rd.from_arrow(chunks)
+            # seq columns attach in per-shard remote tasks that also
+            # write the crawl-order golden slice and pre-split into
+            # blocks; the driver handles only ObjectRefs from here on
+            total_blocks = max(1, min(64, n_pop // cfg.fetch_batch_size + 1))
+            chunk_refs = []
+            off = 0
+            for si, (ln, tref) in enumerate(zip(lens, table_refs)):
+                if ln == 0:
+                    continue
+                shard_seqs = seqs_all[off : off + ln]
+                off += ln
+                n_chunks = max(1, round(total_blocks * ln / n_pop))
+                order_path = os.path.join(
+                    self.order_root, f"epoch-{epoch:05d}-shard-{si:03d}.parquet"
+                )
+                refs = self._attach_seq.options(num_returns=n_chunks).remote(
+                    tref, shard_seqs, epoch, order_path, n_chunks
+                )
+                if n_chunks == 1:
+                    chunk_refs.append(refs)
+                else:
+                    chunk_refs.extend(refs)
+            ds = rd.from_arrow_refs(chunk_refs)
             ds = ds.map_batches(self.fetch_stage, batch_format="pyarrow",
                                 batch_size=cfg.fetch_batch_size)
             if cfg.store_bodies:
@@ -676,11 +702,13 @@ class CrawlJob:
         from ..schema import METRICS
         from .sitemap import build_and_write_sitemap
 
-        seen_tables = ray.get([s.dump.remote() for s in self.seen])
-        url_seen = pa.concat_tables([t for t in seen_tables if t.num_rows])\
-            if any(t.num_rows for t in seen_tables) else seen_tables[0]
-        url_seen = url_seen.sort_by("url")
-        pq.write_table(url_seen, os.path.join(self.workdir, "url_seen.parquet"))
+        # shard-local finalize: each SeenShard writes its own sorted
+        # parquet under url_seen/; the driver touches only counts.
+        # (The old path dump()-ed every shard to the driver and sorted
+        # there — fine at 640k URLs, fatal at 10^10.)
+        url_seen_dir = os.path.join(self.workdir, "url_seen")
+        shutil.rmtree(url_seen_dir, ignore_errors=True)  # replay safety
+        ray.get([s.finalize.remote(url_seen_dir) for s in self.seen])
 
         if self.metrics_rows:
             mt = pa.table(
@@ -713,7 +741,7 @@ class CrawlJob:
             "workdir": self.workdir,
             "resources_dir": self.resources_root,
             "order_dir": self.order_root,
-            "url_seen_path": os.path.join(self.workdir, "url_seen.parquet"),
+            "url_seen_path": url_seen_dir,
             "sitemap_path": sitemap_path,
             "sitemap_entries": n_entries,
             "epochs": len(self.metrics_rows),

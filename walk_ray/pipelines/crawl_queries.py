@@ -41,14 +41,14 @@ def docs_crawl(sf_dir: str) -> dict:
 
     from ..sources.testgen import GENERATOR_VERSION
 
-    _ENGINE_CACHE_VERSION = 2  # bump when crawl outputs change shape/semantics
+    _ENGINE_CACHE_VERSION = 3  # bump when crawl outputs change shape/semantics
     tag = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|g{GENERATOR_VERSION}|e{_ENGINE_CACHE_VERSION}".encode()
     ).hexdigest()[:12]
     base = f"/tmp/walk_ray_runs/docs_graph_{tag}"
     gen = generate_pages("docs_graph", os.path.join(base, "gen"), sf_dir=sf_dir)
     run_dir = os.path.join(base, "run")
-    marker = os.path.join(run_dir, "url_seen.parquet")
+    marker = os.path.join(run_dir, "url_seen")
     sitemap = os.path.join(run_dir, "sitemap.json")
     if os.path.exists(marker) and os.path.exists(sitemap):
         result = {
@@ -69,10 +69,12 @@ def docs_crawl(sf_dir: str) -> dict:
 
 def crawl_url_seen(sf_dir: str):
     """Final request-store contents (url, status, attempts,
-    prev_status) — the URL-seen conformance golden."""
+    prev_status) — the URL-seen conformance golden. Shards write their
+    own sorted files; the global order is restored at read time (this
+    is a query-result-scale sort)."""
     import pyarrow.parquet as pq
 
-    return pq.read_table(docs_crawl(sf_dir)["url_seen_path"])
+    return pq.read_table(docs_crawl(sf_dir)["url_seen_path"]).sort_by("url")
 
 
 def crawl_sitemap_entries(sf_dir: str):

@@ -107,6 +107,41 @@ class FrontierShard:
         self.total -= popped
         return out
 
+    def pop_ready_refs(self, now: float, horizon: float, max_total: int = 1 << 30):
+        """Scale variant of :meth:`pop_ready` for the epoch hot path:
+        the popped rows stay OUT of the driver. Returns
+        ``(keys, table_ref)`` where ``keys`` holds only the narrow
+        linearization-key arrays (epoch, fetch_after, parent_seq,
+        link_idx — ~28 bytes/row) the driver needs for global seq
+        assignment, and ``table_ref`` is an object-store reference to
+        the full popped rows as one Arrow table (URLs and all) that
+        downstream tasks consume directly via
+        ``ray.data.from_arrow_refs``."""
+        import numpy as np
+        import ray
+
+        popped = self.pop_ready(now, horizon, max_total)
+        keys = {
+            "epoch": np.asarray(popped["epoch"], dtype=np.int32),
+            "fetch_after": np.asarray(popped["fetch_after"], dtype=np.float64),
+            "parent_seq": np.asarray(popped["parent_seq"], dtype=np.int64),
+            "link_idx": np.asarray(popped["link_idx"], dtype=np.int32),
+        }
+        table = pa.table(
+            {
+                "url": pa.array(popped["url"], pa.string()),
+                "host": pa.array(popped["host"], pa.string()),
+                "job_id": pa.array(popped["job_id"], pa.string()),
+                "attempts": pa.array(popped["attempts"], pa.int32()),
+                "prev_status": pa.array(popped["prev_status"], pa.int32()),
+                "epoch": pa.array(popped["epoch"], pa.int32()),
+                "parent_seq": pa.array(popped["parent_seq"], pa.int64()),
+                "link_idx": pa.array(popped["link_idx"], pa.int32()),
+                "fetch_after": pa.array(popped["fetch_after"], pa.float64()),
+            }
+        )
+        return keys, ray.put(table)
+
     def next_ready_time(self) -> float | None:
         """Earliest virtual time any queued host could fetch; None when
         the shard is empty."""

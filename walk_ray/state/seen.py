@@ -207,6 +207,20 @@ class SeenShard:
             schema=URL_SEEN,
         )
 
+    def finalize(self, directory: str) -> int:
+        """Write this shard's url-seen contents as its own sorted
+        parquet (``seen-K.parquet``). The driver never sees the rows —
+        only this count — so finalize stays O(shard) everywhere; a
+        global order is recoverable by merge-reading the shard files
+        (each is sorted, rows are hash-partitioned by url)."""
+        os.makedirs(directory, exist_ok=True)
+        t = self.dump().sort_by("url")
+        path = os.path.join(directory, f"seen-{self.shard_id:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)
+        return t.num_rows
+
     def checkpoint(self, directory: str) -> str:
         os.makedirs(directory, exist_ok=True)
         path = os.path.join(directory, f"seen-{self.shard_id:05d}.parquet")

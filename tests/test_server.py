@@ -1,0 +1,156 @@
+"""HTTP query API conformance (api/server.go:47-68 route map,
+api/collection_handlers.go semantics, api/job_handlers.go listing)."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import pytest
+
+from walk_ray.pipelines.crawl import CrawlConfig, CrawlJob
+from walk_ray.server import Collection, make_server
+from walk_ray.sources.testgen import generate_pages
+
+
+@pytest.fixture(scope="module")
+def served(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("server")
+    gen = generate_pages("self_linking", str(tmp / "gen_self"))
+    cfg = CrawlConfig.from_job_json(
+        gen["job"], n_frontier_shards=2, n_seen_shards=2, n_page_parts=2,
+        store_bodies=True,
+    )
+    CrawlJob(cfg, gen["pages"], gen["pages_meta"], str(tmp / "walk_self")).run()
+
+    gen2 = generate_pages("redirect_chain", str(tmp / "gen_redir"))
+    cfg2 = CrawlConfig.from_job_json(
+        gen2["job"], n_frontier_shards=2, n_seen_shards=2, n_page_parts=2
+    )
+    CrawlJob(cfg2, gen2["pages"], gen2["pages_meta"], str(tmp / "walk_redir")).run()
+
+    coll = Collection([str(tmp / "walk_self"), str(tmp / "walk_redir")])
+    srv = make_server(coll, 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield base, tmp
+    srv.shutdown()
+    srv.server_close()
+
+
+def _get_json(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, json.loads(r.read())
+
+
+def _get_bytes(url):
+    with urllib.request.urlopen(url) as r:
+        return r.status, r.read()
+
+
+def test_status(served):
+    base, _ = served
+    code, body = _get_json(base + "/status")
+    assert code == 200 and body["meta"]["code"] == 200
+
+
+def test_list_walks(served):
+    base, _ = served
+    _, body = _get_json(base + "/collection")
+    assert body["data"] == ["walk_redir", "walk_self"]
+
+
+def test_walk_index_paginated(served):
+    base, _ = served
+    _, body = _get_json(base + "/collection/walk_self?limit=2&offset=1")
+    rows = body["data"]
+    assert len(rows) == 2
+    # SURT order; offset skipped the first entry
+    surts = [r["surt_url"] for r in rows]
+    assert surts == sorted(surts)
+    _, all_rows = _get_json(base + "/collection/walk_self?limit=25")
+    assert all_rows["data"][1]["surt_url"] == surts[0]
+
+
+def test_collection_index_unions_walks(served):
+    base, _ = served
+    _, body = _get_json(base + "/captures?limit=100")
+    urls = {r["url"] for r in body["data"]}
+    assert any("self.test" in u for u in urls)
+    assert any("redir.test" in u for u in urls)
+
+
+def test_capture_meta_raw(served):
+    base, _ = served
+    _, body = _get_json(base + "/captures/meta/raw/now/http://self.test/a.html")
+    meta = body["data"]
+    assert meta["url"] == "http://self.test/a.html"
+    assert meta["status"] == 200
+    assert "html" not in meta and "body" not in meta
+    assert meta["timestamp"].endswith("Z")
+
+
+def test_capture_meta_resolved_follows_redirects(served):
+    base, _ = served
+    _, raw = _get_json(base + "/captures/meta/raw/now/http://redir.test/hop/0")
+    assert raw["data"]["redirect_to"] == "http://redir.test/hop/1"
+    _, resolved = _get_json(base + "/captures/meta/resolved/now/http://redir.test/hop/0")
+    assert resolved["data"]["url"] == "http://redir.test/hop/4"
+    assert resolved["data"]["redirect_to"] == ""
+
+
+def test_capture_raw_body(served):
+    """walk Get(url, t) returns the resource WITH body
+    (lib/walk.go:167-210): served from the content-addressed bodies
+    store by hash lookup."""
+    base, tmp = served
+    code, body = _get_bytes(base + "/captures/raw/now/http://self.test/a.html")
+    assert code == 200
+    import pyarrow.parquet as pq
+
+    pages = pq.read_table(str(tmp / "gen_self" / "pages.parquet"))
+    want = {u: h for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist())}
+    assert bytes(body) == bytes(want["http://self.test/a.html"])
+
+
+def test_jobs_listing(served):
+    base, _ = served
+    _, body = _get_json(base + "/jobs")
+    jobs = {j["id"]: j for j in body["data"]}
+    assert jobs["walk_self"]["config"]["seeds"] == ["http://self.test/"]
+
+
+def test_not_found_routes(served):
+    base, _ = served
+    for path in ("/", "/nope", "/collection/unknown-walk"):
+        try:
+            with urllib.request.urlopen(base + path) as r:
+                code = r.status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        assert code == 404, path
+
+
+def test_bad_timestamp(served):
+    base, _ = served
+    try:
+        with urllib.request.urlopen(base + "/captures/meta/raw/not-a-ts/http://x") as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 400
+
+
+def test_capture_asof_timestamp(served):
+    base, _ = served
+    # an as-of bound before the crawl's capture times -> not found
+    code = None
+    try:
+        with urllib.request.urlopen(
+            base + "/captures/meta/raw/2017-01-01T00:00:00Z/http://self.test/a.html"
+        ) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404

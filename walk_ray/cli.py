@@ -102,6 +102,43 @@ def cmd_resolve(args) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    """HTTP query API over one or more crawl workdirs
+    (api/server.go:47-68; default port 2783 like walk)."""
+    ray = _ray_session()
+    from .server import Collection, make_server
+
+    srv = make_server(Collection(args.workdirs), args.port)
+    print(json.dumps({"serving": f"http://127.0.0.1:{srv.server_address[1]}",
+                      "walks": sorted(Collection(args.workdirs).walks)}))
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        srv.server_close()
+        ray.shutdown()
+    return 0
+
+
+def cmd_jobs(args) -> int:
+    # api/job_handlers.go:29-53 as a CLI listing
+    from .server import Collection
+
+    print(json.dumps(Collection(args.workdirs).jobs(), indent=2))
+    return 0
+
+
+def cmd_config(args) -> int:
+    # cmd/config.go analog: show a crawl's persisted job config
+    import os
+
+    path = os.path.join(args.workdir, "job.json")
+    with open(path) as f:
+        print(f.read().rstrip())
+    return 0
+
+
 def cmd_timespan(args) -> int:
     ray = _ray_session()
     from .pipelines.query import timespan
@@ -152,6 +189,19 @@ def main(argv=None) -> int:
     s = sub.add_parser("timespan", help="min/max capture timestamps")
     s.add_argument("resources")
     s.set_defaults(fn=cmd_timespan)
+
+    s = sub.add_parser("serve", help="HTTP query API over crawl workdirs")
+    s.add_argument("workdirs", nargs="+")
+    s.add_argument("--port", type=int, default=2783)
+    s.set_defaults(fn=cmd_serve)
+
+    s = sub.add_parser("jobs", help="list job configs of crawl workdirs")
+    s.add_argument("workdirs", nargs="+")
+    s.set_defaults(fn=cmd_jobs)
+
+    s = sub.add_parser("config", help="show a crawl's job config")
+    s.add_argument("workdir")
+    s.set_defaults(fn=cmd_config)
 
     args = p.parse_args(argv)
     try:

@@ -231,3 +231,9 @@ def extract_batch(urls, bodies):
         "links": links,
         "text": texts,
     }
+
+
+def headers_map(flat: list[str]) -> dict[str, str]:
+    """walk Resource.HeadersMap (lib/resource.go:58-67): flat
+    [k, v, k, v, ...] slice → dict."""
+    return {flat[i]: flat[i + 1] for i in range(0, len(flat) - 1, 2)}

@@ -81,12 +81,20 @@ class CrawlConfig:
     max_attempts: int = 3
     stop_url: str = ""
     stop_after_entries: int = 0
-    # parity field: the reference declares backoff codes but the
-    # slow-down path is commented out (lib/coordinator.go:264-275) —
-    # kept as configuration, intentionally a no-op, like the reference.
+    # The reference declares backoff codes but its slow-down path is
+    # commented out (lib/coordinator.go:264-275) — with
+    # ``enable_backoff=False`` (default) this stays a parity no-op.
+    # Enabling it activates the declared-but-dead design, sharpened to
+    # per-HOST pacing: each backoff response adds delay/2 to that
+    # host's politeness delay; the per-epoch speed_up tick recovers it
+    # (lib/job.go:113-131).
     backoff_response_codes: list[int] = field(default_factory=list)
+    enable_backoff: bool = False
     polite: bool = False
     record_redirects: bool = True
+    # walk RecordResponseHeaders (lib/config.go:147,173-174): capture
+    # response headers as a flat [k,v,...] column; default off
+    record_headers: bool = False
     job_id: str = "1"
     # physical knobs; shard counts default to half the CPU budget
     # (the sandbox analog of one shard per node-core on a cluster) —
@@ -125,6 +133,7 @@ class CrawlConfig:
             stop_after_entries=job.get("stop_after_entries", 0),
             seeds_path=job.get("seeds_path", ""),
             backoff_response_codes=job.get("backoff_response_codes", []),
+            record_headers=job.get("record_headers", False),
         )
         for k, v in overrides.items():
             setattr(cfg, k, v)
@@ -287,6 +296,20 @@ class CommitStage:
         # StopURL fires on every dequeued resource URL regardless of
         # status — walk checks job.cfg.StopURL == fr.URL in the
         # dequeue defer for all completions (lib/coordinator.go:355-366)
+        # per-host backoff on backoff response codes (config-gated)
+        if cfg.enable_backoff and cfg.backoff_response_codes:
+            bad = {url_host(urls[i]) for i in range(n)
+                   if statuses[i] in cfg.backoff_response_codes}
+            if bad:
+                hosts = sorted(bad)
+                step = (cfg.delay_milli / 1000.0) / 2
+                h_shards = shard_of(url_hash64_batch(hosts), len(self.frontier))
+                waits = []
+                for sh in set(h_shards.tolist()):
+                    hs = [h for h, x in zip(hosts, h_shards) if x == sh]
+                    waits.append(self.frontier[sh].backoff.remote(hs, step))
+                ray.get(waits)
+
         stop_hit = bool(cfg.stop_url) and any(u == cfg.stop_url for u in urls)
         self.metrics.add.remote(
             {
@@ -373,6 +396,13 @@ class CrawlJob:
         os.makedirs(self.resources_root, exist_ok=True)
         os.makedirs(self.order_root, exist_ok=True)
         self.metrics_rows: list[dict] = []
+        # persist the job config for later introspection (the read
+        # model's /jobs route and `walk_ray.cli jobs`, mirroring
+        # api/job_handlers.go:15-70 / cmd/config.go)
+        from dataclasses import asdict
+
+        with open(os.path.join(workdir, "job.json"), "w") as f:
+            json.dump(asdict(cfg), f, indent=2)
 
     # -- actor fleet ---------------------------------------------------
 
@@ -400,7 +430,7 @@ class CrawlJob:
         self.robots = ray.remote(RobotsCache).remote(self.stores) if cfg.polite else None
         self.metrics_actor = ray.remote(_Metrics).remote()
         self._attach_seq = ray.remote(_attach_seq_impl)
-        self.fetch_stage = FetchStage(self.stores, cfg.record_redirects)
+        self.fetch_stage = FetchStage(self.stores, cfg.record_redirects, cfg.record_headers)
         self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
                                         self.metrics_actor)
         # wait for every actor to be live (page stores loaded, state
@@ -464,6 +494,7 @@ class CrawlJob:
         self._start_actors()
 
         self.vnow = 0.0
+        self._last_speedup_v = 0.0  # virtual time of last backoff recovery tick
         self.seq_counter = 0
         self.done_total = 0
         epoch = 0
@@ -597,6 +628,17 @@ class CrawlJob:
                     pushed += len(d_urls)
             _mark("drain_push")
 
+            if cfg.enable_backoff and cfg.backoff_response_codes:
+                # recovery ticker (lib/job.go:121-131): one speed-up
+                # step per elapsed VIRTUAL minute (fetch_after is the
+                # crawl's virtual clock), so recovery is much slower
+                # than the per-response slow-down, like the reference's
+                # real-time minute ticker.
+                epoch_vend = float(fa.max())
+                if epoch_vend - self._last_speedup_v >= 60.0:
+                    ray.get([f.speed_up.remote((cfg.delay_milli / 1000.0) / 2)
+                             for f in self.frontier])
+                    self._last_speedup_v = epoch_vend
             counters = ray.get(self.metrics_actor.drain.remote())
             if debug:
                 deltas = [(l, round(t2 - t1, 2)) for (l, t1), (_, t2) in zip(_marks, _marks[1:])]
@@ -654,6 +696,7 @@ class CrawlJob:
         )
         manifest = {
             "epoch": epoch,
+            "last_speedup_v": self._last_speedup_v,
             "vnow": self.vnow,
             "seq_counter": self.seq_counter,
             "done_total": self.done_total,
@@ -681,6 +724,7 @@ class CrawlJob:
             + [s.restore.remote(ck) for s in self.seen]
         )
         self.vnow = m["vnow"]
+        self._last_speedup_v = m.get("last_speedup_v", 0.0)
         self.seq_counter = m["seq_counter"]
         self.done_total = m["done_total"]
         self.metrics_rows = list(m.get("metrics_rows", []))

@@ -22,6 +22,8 @@ re-expressed as small Dataset programs.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pyarrow as pa
 
@@ -29,6 +31,7 @@ from ..functions.canon import normalize_url, surt_key
 
 __all__ = [
     "build_index",
+    "sorted_index",
     "inbound_links",
     "link_graph",
     "clean_sitemap",
@@ -36,6 +39,8 @@ __all__ = [
     "resolve_redirects",
     "timespan",
     "union_walks",
+    "get_body",
+    "get_capture",
 ]
 
 
@@ -45,12 +50,18 @@ def _read_resources(resources_dir, columns=None):
     return rd.read_parquet(resources_dir, columns=columns)
 
 
-def build_index(resources_dir: str):
+def build_index(resources_dir):
     """Resources → index Dataset sorted by SURT url (global sort —
-    the only wide step; rows are narrow metadata)."""
-    ds = _read_resources(
-        resources_dir, columns=["url", "timestamp", "hash", "content_length", "status"]
-    )
+    the only wide step; rows are narrow metadata). Accepts a resources
+    dir or an already-loaded Dataset (e.g. a collection union)."""
+    if hasattr(resources_dir, "map_batches"):
+        ds = resources_dir.select_columns(
+            ["url", "timestamp", "hash", "content_length", "status"]
+        )
+    else:
+        ds = _read_resources(
+            resources_dir, columns=["url", "timestamp", "hash", "content_length", "status"]
+        )
 
     def add_surt(batch: pa.Table) -> pa.Table:
         return batch.append_column(
@@ -208,6 +219,69 @@ def timespan(resources_dir: str) -> tuple:
     ds = _read_resources(resources_dir, columns=["timestamp"])
     row = ds.aggregate(Min("timestamp"), Max("timestamp"))
     return row["min(timestamp)"], row["max(timestamp)"]
+
+
+def get_body(bodies_dir: str, content_hash: str) -> bytes | None:
+    """Content-addressed body lookup (the read side of the BodyStage
+    sink): hash → html bytes via a predicate-pushdown parquet read of
+    ``bodies/epoch-*/part-*.parquet`` — only row groups containing the
+    hash are decoded (walk reads ``body/<hash[:2]>/<hash[2:]>``,
+    lib/walk.go:156-210)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq_
+
+    paths = sorted(_glob.glob(os.path.join(bodies_dir, "**", "*.parquet"), recursive=True))
+    if not paths:
+        return None
+    t = pq_.read_table(paths, filters=[("hash", "==", content_hash)], columns=["html"])
+    if t.num_rows == 0:
+        return None
+    return bytes(t["html"][0].as_py())
+
+
+def get_capture(resources_dirs, url: str, at=None, bodies_dir: str = "",
+                resolve: bool = False, max_hops: int = 20) -> dict | None:
+    """Walk ``Get(url, t)`` (lib/walk.go:167-210 +
+    api/collection_handlers.go:95-218): the latest capture of a
+    (normalized) URL at/before ``at``, as a meta dict, optionally with
+    the stored body attached (``bodies_dir``) and redirects resolved
+    (≤ ``max_hops``, api maxRedirects).
+
+    Point query: reads only the target URL's rows via parquet
+    predicate pushdown — never the full resources table.
+    """
+    import pyarrow.parquet as pq_
+
+    if isinstance(resources_dirs, str):
+        resources_dirs = [resources_dirs]
+    cur = normalize_url(url)
+    for _ in range(max_hops + 1):
+        tables = []
+        for d in resources_dirs:
+            t = pq_.read_table(d, filters=[("url", "==", cur)])
+            if t.num_rows:
+                tables.append(t)
+        if not tables:
+            return None
+        t = pa.concat_tables(tables)
+        rows = t.to_pylist()
+        if at is not None:
+            rows = [r for r in rows if r["timestamp"] <= at]
+            if not rows:
+                return None
+        # latest capture; ties broken by (epoch, seq) like latest_capture
+        rows.sort(key=lambda r: (r["timestamp"], r["epoch"], r["seq"]))
+        r = rows[-1]
+        if resolve and r.get("redirect_to"):
+            cur = r["redirect_to"]
+            continue
+        if bodies_dir and r.get("hash"):
+            body = get_body(bodies_dir, r["hash"])
+            if body is not None:
+                r["body"] = body
+        return r
+    raise ValueError(f"max {max_hops} redirects exceeded")
 
 
 def union_walks(resources_dirs):

@@ -28,6 +28,10 @@ PAGES_META = pa.schema(
         ("status", pa.int32()),
         ("redirect_to", pa.string()),
         ("content_type", pa.string()),
+        # response headers as walk's flat [k, v, k, v, ...] slice
+        # (lib/resource.go:41-43); HeadersMap-style dict via
+        # functions.extract.headers_map
+        ("headers", pa.list_(pa.string())),
     ]
 )
 

@@ -1,0 +1,249 @@
+"""HTTP query API over crawl outputs — walk's second entry point
+(``/root/reference/api/server.go:47-68``) re-expressed over the
+parquet read model.
+
+Routes (1:1 with walk's mux):
+
+- ``GET /status`` — health check (``api/server.go:29-33``)
+- ``GET /collection`` — walk ids in the collection, paginated
+  (``api/collection_handlers.go:19-42``)
+- ``GET /collection/{id}`` — one walk's SURT-sorted index, paginated
+  (``api/collection_handlers.go:62-78``)
+- ``GET /captures`` — collection-wide sorted index, paginated
+  (``api/collection_handlers.go:81-93``)
+- ``GET /captures/meta/raw/{ts}/{url}`` — latest capture meta at/before
+  ts (``api/collection_handlers.go:95-110``)
+- ``GET /captures/meta/resolved/{ts}/{url}`` — redirect-resolved meta,
+  ≤20 hops (``api/collection_handlers.go:113-127,163-186``)
+- ``GET /captures/raw/{ts}/{url}`` — raw stored body bytes
+  (``api/collection_handlers.go:129-144``; needs a ``store_bodies``
+  crawl)
+- ``GET /captures/resolved/{ts}/{url}`` — resolved body bytes
+- ``GET /jobs`` — job configs (``api/job_handlers.go:29-53``)
+
+Timestamps: RFC3339, or the literals ``now`` / ``zero``
+(``api/collection_handlers.go:188-218``); ``now``/``zero`` mean "no
+as-of bound" here (walk's CBOR reader ignores t as well,
+``lib/walk.go:167-210``).
+
+Pagination: ``page``/``pageSize`` (datatogether apiutil style, default
+size 25) or explicit ``limit``/``offset``.
+
+Scale note: the server is a READ MODEL process. Walk ids and job
+configs load at startup; index pages and captures are served by
+predicate-pushdown parquet reads per request — the full resources
+table is never resident. Responses use the ``{"meta": ..., "data":
+...}`` envelope walk's apiutil writes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlsplit
+
+__all__ = ["Collection", "make_server", "serve"]
+
+
+def _rfc3339(ts) -> str:
+    if ts is None:
+        return ""
+    if isinstance(ts, datetime):
+        dt = ts
+    else:  # microseconds since epoch
+        dt = datetime.fromtimestamp(int(ts) / 1_000_000, tz=timezone.utc)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+class Collection:
+    """A set of crawl workdirs served as one read model
+    (walk Collection, ``lib/collection.go:9-92``)."""
+
+    def __init__(self, workdirs: list[str]):
+        self.walks: dict[str, dict] = {}
+        for wd in workdirs:
+            wid = os.path.basename(os.path.normpath(wd))
+            res = os.path.join(wd, "resources")
+            if not os.path.isdir(res):
+                continue
+            job_path = os.path.join(wd, "job.json")
+            job = None
+            if os.path.exists(job_path):
+                with open(job_path) as f:
+                    job = json.load(f)
+            bodies = os.path.join(wd, "bodies")
+            self.walks[wid] = {
+                "id": wid,
+                "workdir": wd,
+                "resources": res,
+                "bodies": bodies if os.path.isdir(bodies) else "",
+                "job": job,
+            }
+
+    # -- index ---------------------------------------------------------
+
+    def walk_ids(self) -> list[str]:
+        return sorted(self.walks)
+
+    def sorted_index(self, walk_id: str | None, limit: int, offset: int) -> list[dict]:
+        """SURT-sorted index rows [offset, offset+limit) over one walk
+        or the whole collection (lib/walk.go:89-109, lib/collection.go:57-73)."""
+        from .pipelines.query import build_index, sorted_index as _sorted_index
+
+        dirs = (
+            [self.walks[walk_id]["resources"]]
+            if walk_id
+            else [w["resources"] for w in self.walks.values()]
+        )
+        if not dirs:
+            return []
+        if len(dirs) == 1:
+            ds = _sorted_index(dirs[0], limit=limit, offset=offset)
+        else:
+            import ray.data as rd
+
+            parts = [rd.read_parquet(d) for d in dirs]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.union(p)
+            ds = build_index(u)
+            if offset > 0:
+                ds = ds.split_at_indices([offset])[1]
+            if limit >= 0:
+                ds = ds.limit(limit)
+        rows = ds.take_all() if limit < 0 else ds.take(limit) if limit else []
+        for r in rows:
+            r["timestamp"] = _rfc3339(r.get("timestamp"))
+        return rows
+
+    # -- captures ------------------------------------------------------
+
+    def get_capture(self, url: str, at=None, resolve: bool = False,
+                    with_body: bool = False) -> dict | None:
+        from .pipelines.query import get_capture
+
+        dirs = [w["resources"] for w in self.walks.values()]
+        bodies = next((w["bodies"] for w in self.walks.values() if w["bodies"]), "")
+        r = get_capture(dirs, url, at=at, resolve=resolve,
+                        bodies_dir=bodies if with_body else "")
+        return r
+
+    def jobs(self) -> list[dict]:
+        return [
+            {"id": wid, **({"config": w["job"]} if w["job"] else {})}
+            for wid, w in sorted(self.walks.items())
+        ]
+
+
+def _parse_ts(part: str):
+    """walk pathTimestampURL (api/collection_handlers.go:188-218)."""
+    if part in ("now", "zero"):
+        return None
+    return datetime.strptime(part, "%Y-%m-%dT%H:%M:%SZ")
+
+
+def _page(qs: dict) -> tuple[int, int]:
+    if "limit" in qs or "offset" in qs:
+        return int(qs.get("limit", ["25"])[0]), int(qs.get("offset", ["0"])[0])
+    size = int(qs.get("pageSize", ["25"])[0])
+    page = max(1, int(qs.get("page", ["1"])[0]))
+    return size, (page - 1) * size
+
+
+def make_server(collection: Collection, port: int = 0) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server; ``port 0`` picks a free
+    ephemeral port (``server.server_address[1]``)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, data, code=200):
+            body = json.dumps(
+                {"meta": {"code": code, "status": "ok" if code == 200 else "error"},
+                 "data": data},
+                default=str,
+            ).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _bytes(self, data: bytes, code=200):
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _not_found(self):
+            self._json([], code=404)
+
+        def _capture(self, prefix: str):
+            rest = self.path[len(prefix):]
+            if "/" not in rest:
+                return self._json({"error": "invalid {timestamp}/{url} combination"}, 400)
+            ts_part, url = rest.split("/", 1)
+            if not url:
+                return self._json({"error": "invalid {timestamp}/{url} combination"}, 400)
+            try:
+                at = _parse_ts(ts_part)
+            except ValueError:
+                return self._json({"error": f"bad timestamp: {ts_part}"}, 400)
+            resolve = "resolved" in prefix
+            with_body = "/meta/" not in prefix
+            try:
+                r = collection.get_capture(url, at=at, resolve=resolve,
+                                           with_body=with_body)
+            except ValueError as e:  # max redirects
+                return self._json({"error": str(e)}, 500)
+            if r is None:
+                return self._not_found()
+            body = r.pop("body", None)
+            if with_body:
+                return self._bytes(bytes(body) if body is not None else b"")
+            r.pop("html", None)
+            r["timestamp"] = _rfc3339(r.get("timestamp"))
+            return self._json(r)
+
+        def do_GET(self):  # noqa: N802 (stdlib casing)
+            u = urlsplit(self.path)
+            path, qs = u.path, parse_qs(u.query)
+            self.path = path
+            if path == "/status":
+                return self._json([])
+            if path == "/collection":
+                limit, offset = _page(qs)
+                return self._json(collection.walk_ids()[offset : offset + limit])
+            if path.startswith("/collection/"):
+                wid = path[len("/collection/"):]
+                if wid not in collection.walks:
+                    return self._not_found()
+                limit, offset = _page(qs)
+                return self._json(collection.sorted_index(wid, limit, offset))
+            if path in ("/captures", "/captures/"):
+                limit, offset = _page(qs)
+                return self._json(collection.sorted_index(None, limit, offset))
+            for prefix in ("/captures/meta/raw/", "/captures/meta/resolved/",
+                           "/captures/raw/", "/captures/resolved/"):
+                if path.startswith(prefix):
+                    return self._capture(prefix)
+            if path in ("/jobs", "/jobs/"):
+                limit, offset = _page(qs)
+                return self._json(collection.jobs()[offset : offset + limit])
+            return self._not_found()
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def serve(workdirs: list[str], port: int = 2783):
+    """Blocking serve (walk's default port is 2783, cmd/server.go)."""
+    srv = make_server(Collection(workdirs), port)
+    try:
+        srv.serve_forever()
+    finally:
+        srv.server_close()

@@ -62,20 +62,26 @@ def prepare_page_partitions(pages_path: str, meta_path: str, out_dir: str, n_par
     import ray.data as rd
 
     stamp = os.path.join(out_dir, "DONE")
-    tag = f"{pages_path}|{meta_path}|{n_parts}"
+    tag = f"{pages_path}|{meta_path}|{n_parts}|v2"  # v2: + headers column
     if os.path.exists(stamp) and open(stamp).read() == tag:
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
     # meta is narrow — broadcast it as a dict.
     meta_t = pq.read_table(meta_path)
+    hdr_col = (
+        meta_t["headers"].to_pylist()
+        if "headers" in meta_t.column_names
+        else [[]] * meta_t.num_rows
+    )
     meta = {
-        u: (s, r, c)
-        for u, s, r, c in zip(
+        u: (s, r, c, h or [])
+        for u, s, r, c, h in zip(
             meta_t["url"].to_pylist(),
             meta_t["status"].to_pylist(),
             meta_t["redirect_to"].to_pylist(),
             meta_t["content_type"].to_pylist(),
+            hdr_col,
         )
     }
     import ray
@@ -93,16 +99,18 @@ def prepare_page_partitions(pages_path: str, meta_path: str, out_dir: str, n_par
             m = self.meta
             urls = batch["url"].to_pylist()
             part = partition_of(urls, n_parts)
-            default = (200, "", "")
+            default = (200, "", "", [])
             statuses = pa.array([m.get(u, default)[0] for u in urls], pa.int32())
             redirects = pa.array([m.get(u, default)[1] for u in urls], pa.string())
             ctypes = pa.array([m.get(u, default)[2] for u in urls], pa.string())
+            headers = pa.array([m.get(u, default)[3] for u in urls], pa.list_(pa.string()))
             keys = pa.array([request_key(u) for u in urls], pa.string())
             return (
                 batch.append_column("part", pa.array(part))
                 .append_column("status", statuses)
                 .append_column("redirect_to", redirects)
                 .append_column("content_type", ctypes)
+                .append_column("headers", headers)
                 .append_column("req_key", keys)
             )
 
@@ -119,33 +127,41 @@ class PageStore:
 
     def __init__(self, partition_dir: str, part_id: int):
         self.part_id = part_id
-        self.pages: dict[str, tuple[int, str, bytes, int, str]] = {}
+        self.pages: dict[str, tuple[int, str, bytes, int, str, list]] = {}
         pattern = os.path.join(partition_dir, f"part={part_id}", "*.parquet")
         for path in sorted(glob.glob(pattern)):
             t = pq.read_table(
-                path, columns=["req_key", "status", "redirect_to", "html", "warc_ts", "content_type"]
+                path,
+                columns=["req_key", "status", "redirect_to", "html", "warc_ts",
+                         "content_type", "headers"],
             )
             ts = t["warc_ts"].cast(pa.int64()).to_pylist()
-            for k, s, r, h, tsu, c in zip(
+            for k, s, r, h, tsu, c, hd in zip(
                 t["req_key"].to_pylist(),
                 t["status"].to_pylist(),
                 t["redirect_to"].to_pylist(),
                 t["html"].to_pylist(),
                 ts,
                 t["content_type"].to_pylist(),
+                t["headers"].to_pylist(),
             ):
-                self.pages[k] = (int(s), r or "", h or b"", tsu or 0, c or "")
+                self.pages[k] = (int(s), r or "", h or b"", tsu or 0, c or "", hd or [])
 
-    def lookup(self, keys: list[str]) -> list[tuple[bool, int, str, bytes, int, str]]:
-        """Batch point lookup; (found, status, redirect_to, html, ts_us, content_type)."""
+    # Go's FileServer 404 response headers (miss path)
+    _MISS = (False, 404, "", b"", 0, "text/plain; charset=utf-8",
+             ["Content-Type", "text/plain; charset=utf-8"])
+
+    def lookup(self, keys: list[str]):
+        """Batch point lookup;
+        (found, status, redirect_to, html, ts_us, content_type, headers)."""
         pages = self.pages
         out = []
         for k in keys:
             row = pages.get(k)
             if row is None:
-                out.append((False, 404, "", b"", 0, "text/plain; charset=utf-8"))
+                out.append(self._MISS)
             else:
-                out.append((True, row[0], row[1], row[2], row[3], row[4]))
+                out.append((True, row[0], row[1], row[2], row[3], row[4], row[5]))
         return out
 
     def size(self) -> int:

@@ -25,6 +25,7 @@ RESOURCE_STAGE_SCHEMA = pa.schema(
         ("orig_url", pa.string()),
         ("status", pa.int32()),
         ("content_type", pa.string()),
+        ("headers", pa.list_(pa.string())),
         ("content_sniff", pa.string()),
         ("content_length", pa.int64()),
         ("title", pa.string()),
@@ -68,6 +69,7 @@ def extract_resources(batch: pa.Table) -> pa.Table:
         "orig_url": batch["orig_url"],
         "status": batch["status"],
         "content_type": pa.array(ctypes, pa.string()),
+        "headers": batch["headers"],
         "content_sniff": pa.array(pick("content_sniff", ""), pa.string()),
         "content_length": pa.array(pick("content_length", 0), pa.int64()),
         "title": pa.array(pick("title", ""), pa.string()),

@@ -45,6 +45,7 @@ FETCHED_SCHEMA = pa.schema(
         ("redirect_to", pa.string()),
         ("redirect_from", pa.string()),
         ("content_type", pa.string()),
+        ("headers", pa.list_(pa.string())),
         ("error", pa.string()),
         ("html", pa.large_binary()),
         ("timestamp", pa.timestamp("us")),
@@ -60,12 +61,18 @@ FETCHED_SCHEMA = pa.schema(
 
 
 class FetchStage:
-    def __init__(self, store_handles: list, record_redirects: bool = True):
+    def __init__(self, store_handles: list, record_redirects: bool = True,
+                 record_headers: bool = False):
         import ray  # noqa: F401  (actor handles already materialized)
 
         self.stores = store_handles
         self.n_parts = len(store_handles)
         self.record_redirects = record_redirects
+        # walk RecordResponseHeaders (lib/config.go:147,173-174,
+        # lib/resource.go:104-107): default-off flat [k,v,...] capture
+        # on terminal responses only (hop resources are synthesized
+        # without headers, lib/worker.go:215-224)
+        self.record_headers = record_headers
 
     def _lookup(self, urls: list[str]):
         """Grouped batch lookup across page partitions."""
@@ -99,7 +106,8 @@ class FetchStage:
         while active:
             rows = self._lookup([current[i] for i in active])
             next_active = []
-            for idx, (found, status, redirect_to, html, ts_us, content_type) in zip(active, rows):
+            for idx, (found, status, redirect_to, html, ts_us, content_type,
+                      hdrs) in zip(active, rows):
                 req = {
                     "job_id": cols["job_id"][idx],
                     "orig_url": cols["url"][idx],
@@ -124,6 +132,7 @@ class FetchStage:
                                 redirect_to=next_norm,
                                 redirect_from="",
                                 content_type="",
+                                headers=[],
                                 error="",
                                 html=b"",
                                 timestamp=ts,
@@ -139,6 +148,7 @@ class FetchStage:
                                 redirect_to="",
                                 redirect_from="",
                                 content_type="",
+                                headers=[],
                                 # Go's net/http wraps the CheckRedirect
                                 # error in a url.Error carrying the URL
                                 # of the attempted (target) request, not
@@ -160,7 +170,7 @@ class FetchStage:
                     if hop_counts[idx] + 1 >= 10:
                         out.append(
                             dict(req, url=cols["url"][idx], status=0, redirect_to="",
-                                 redirect_from="", content_type="",
+                                 redirect_from="", content_type="", headers=[],
                                  error="stopped after 10 redirects",
                                  html=b"", timestamp=ts, is_hop=False)
                         )
@@ -188,6 +198,7 @@ class FetchStage:
                         redirect_to="",
                         redirect_from=redirect_from,
                         content_type=content_type,
+                        headers=list(hdrs) if self.record_headers else [],
                         error="",
                         html=bytes(body),
                         timestamp=ts,

@@ -52,6 +52,7 @@ class FrontierShard:
         self.delay = float(delay_sec)
         self.queues: dict[str, deque] = {}      # host -> deque of entry tuples
         self.host_next: dict[str, float] = {}   # host -> next allowed virtual fetch time
+        self.host_delay: dict[str, float] = {}  # host -> extra backoff delay (429/5xx)
         self.buffer: list[tuple] = []           # un-sorted arrivals since last pop
         self.total = 0
 
@@ -90,15 +91,14 @@ class FrontierShard:
         for host in sorted(self.queues):
             q = self.queues[host]
             t = max(self.host_next.get(host, 0.0), now)
+            step = self.delay + self.host_delay.get(host, 0.0)
             while q and t < deadline and popped < max_total:
                 e = q.popleft()
                 for c, v in zip(FRONTIER_COLS, e):
                     out[c].append(v)
                 out["fetch_after"].append(t)
-                t += self.delay
+                t += step
                 popped += 1
-                if self.delay == 0.0:
-                    continue
             self.host_next[host] = t
             if not q:
                 empty_hosts.append(host)
@@ -142,6 +142,26 @@ class FrontierShard:
         )
         return keys, ray.put(table)
 
+    def backoff(self, hosts: list[str], step: float) -> None:
+        """Per-host slow-down on backoff response codes: each report
+        adds ``step`` (= delay/2, the reference's commented-out
+        increment, lib/job.go:113 + lib/coordinator.go:264-275) to the
+        host's politeness delay. Only the reported hosts slow down;
+        other hosts on this shard keep their pace."""
+        for h in hosts:
+            self.host_delay[h] = self.host_delay.get(h, 0.0) + step
+
+    def speed_up(self, step: float) -> None:
+        """The reference's recovery ticker (lib/job.go:121-131) on the
+        engine's epoch clock: shrink each host's extra delay by
+        ``step`` toward the configured base."""
+        for h in list(self.host_delay):
+            d = self.host_delay[h] - step
+            if d <= 1e-12:
+                del self.host_delay[h]
+            else:
+                self.host_delay[h] = d
+
     def next_ready_time(self) -> float | None:
         """Earliest virtual time any queued host could fetch; None when
         the shard is empty."""
@@ -180,7 +200,7 @@ class FrontierShard:
         hpath = os.path.join(directory, f"frontier-{self.shard_id:05d}.hosts.json")
         tmp = hpath + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(self.host_next, f)
+            json.dump({"host_next": self.host_next, "host_delay": self.host_delay}, f)
         os.replace(tmp, hpath)
         return path
 
@@ -192,9 +212,15 @@ class FrontierShard:
         import json
 
         hpath = os.path.join(directory, f"frontier-{self.shard_id:05d}.hosts.json")
+        self.host_delay.clear()
         if os.path.exists(hpath):
             with open(hpath) as f:
-                self.host_next = {h: float(v) for h, v in json.load(f).items()}
+                d = json.load(f)
+            if "host_next" in d:  # sidecar format v2
+                self.host_next = {h: float(v) for h, v in d["host_next"].items()}
+                self.host_delay = {h: float(v) for h, v in d.get("host_delay", {}).items()}
+            else:
+                self.host_next = {h: float(v) for h, v in d.items()}
         self.buffer = list(zip(*(t[c].to_pylist() for c in FRONTIER_COLS))) if t.num_rows else []
         self.total = t.num_rows
         return t.num_rows

@@ -71,7 +71,7 @@ class RobotsCache:
             by_part.setdefault(int(p), []).append(i)
         for p, idxs in by_part.items():
             rows = ray.get(self.stores[p].lookup.remote([keys[i] for i in idxs]))
-            for i, (found, status, _r, body, _ts, _ct) in zip(idxs, rows):
+            for i, (found, status, _r, body, _ts, _ct, _h) in zip(idxs, rows):
                 host = missing[i]
                 if found and status == 200:
                     self.rules[host] = parse_robots(bytes(body))

@@ -60,7 +60,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
             sf, n=1, threshold=JACCARD_THRESHOLD, exact=True
         ),
+        # the SCALE path (LSH candidates + pairs⋈grams exact verify) —
+        # oracle-gated against the same exact-Jaccard SQL: on this data
+        # LSH blocking reaches full recall, so outputs must match
+        "unigram_jaccard_pairs_lsh": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, n=1, threshold=JACCARD_THRESHOLD, exact=False
+        ),
         "embedding_cosine_pairs": lambda sf: dedup.embedding_cosine_pairs(
+            sf, threshold=COSINE_THRESHOLD
+        ),
+        # IVF-cell-blocked near-dup pairs (the 100-TB path), oracle-
+        # gated against the exact all-pairs SQL (full recall here)
+        "embedding_cosine_pairs_ivf": lambda sf: dedup.embedding_cosine_pairs_blocked(
             sf, threshold=COSINE_THRESHOLD
         ),
         "minhash_lsh_dedup": lambda sf: dedup.minhash_lsh_dedup(
@@ -239,7 +250,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, ROUND(j, 6) AS jaccard
             FROM pairs WHERE j >= {JACCARD_THRESHOLD}""",
+        "unigram_jaccard_pairs_lsh": f"""
+            WITH grams AS (
+                SELECT doc_id, list_distinct({_WORDS}) AS g FROM documents
+            ), pairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+                       / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+                FROM grams a, grams b WHERE a.doc_id < b.doc_id
+            )
+            SELECT a, b, ROUND(j, 6) AS jaccard
+            FROM pairs WHERE j >= {JACCARD_THRESHOLD}""",
         "embedding_cosine_pairs": f"""
+            WITH pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS c
+                FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id
+            )
+            SELECT a, b, ROUND(c, 6) AS cosine
+            FROM pairs WHERE c >= {COSINE_THRESHOLD}""",
+        "embedding_cosine_pairs_ivf": f"""
             WITH pairs AS (
                 SELECT a.vec_id AS a, b.vec_id AS b,
                        list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

@@ -131,9 +131,15 @@ def _bench_queries() -> dict:
     run("exact_dedup", lambda: dedup.exact_dedup(SF_DIR))
     run("minhash_lsh_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR, ngram=3, threshold=0.5))
     run("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))
+    run("unigram_jaccard_lsh",
+        lambda: dedup.ngram_jaccard_pairs(SF_DIR, n=1, threshold=0.9, exact=False))
     run("embedding_cosine_pairs", lambda: dedup.embedding_cosine_pairs(SF_DIR, threshold=0.4))
+    run("embedding_dedup_ivf", lambda: dedup.embedding_dedup(SF_DIR, threshold=0.4))
     run("ann_brute_topk", lambda: similarity.ann_brute_topk(SF_DIR))
     run("ann_ivf_topk", lambda: similarity.ann_ivf_topk(SF_DIR))
+    from walk_ray.pipelines import multimodal
+
+    run("media_features", lambda: multimodal.media_features(SF_DIR))
     return timings
 
 
@@ -212,6 +218,8 @@ def run_scaling() -> dict:
         "crawl_sec_8": r_lo["crawl"]["crawl_sec"],
         "crawl_sec_32": r_hi["crawl"]["crawl_sec"],
         "queries": {"bench_8": r_lo["value"], "bench_32": r_hi["value"]},
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
         "sf": SF_DIR,
         "num_cpus": hi,
     }

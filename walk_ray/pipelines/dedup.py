@@ -410,74 +410,120 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         return rd.from_pandas(df)
 
     # --- scale path: LSH candidates, exact verify via pairs ⋈ grams ---
-    # candidate pairs from banded LSH (est filter slightly below the
-    # target threshold for recall headroom; exact verify prunes after)
+    # candidate pairs from banded LSH (est filter 0.2 below the target
+    # threshold: ~7.5σ of headroom for the 128-perm estimator at the
+    # boundary, so exact recall survives boundary-hugging data; exact
+    # verify prunes after)
     cand = minhash_lsh_pairs(sf_dir, ngram=n,
                              threshold=max(0.0, threshold - 0.2)).to_pandas()
-    # the PAIR LIST is the small side (LSH-blocked); broadcast a
-    # doc -> [(pair_id, side)] membership map, never the gram sets
-    membership: dict[int, list[tuple[int, int]]] = {}
-    pair_ids: dict[int, tuple[int, int]] = {}
-    for pid, (a_, b_) in enumerate(zip(cand["a"], cand["b"])):
-        pair_ids[pid] = (int(a_), int(b_))
-        membership.setdefault(int(a_), []).append((pid, 0))
-        membership.setdefault(int(b_), []).append((pid, 1))
-    if not pair_ids:
+    n_pairs = len(cand)
+    if not n_pairs:
         return rd.from_pandas(pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")}))
-    member_ref = ray.put(membership)
+    # the PAIR LIST is the small side (LSH-blocked); broadcast it as
+    # SORTED NUMPY ARRAYS (zero-copy through the object store — a
+    # Python dict of 10^6 lists costs tens of seconds to pickle and to
+    # re-hydrate per task), never the gram sets:
+    #   docs_s[i] -> (pids_s[i], sides_s[i])  sorted by doc for
+    #   searchsorted membership lookup; a_arr/b_arr index by pair id.
+    a_arr = cand["a"].to_numpy(dtype=np.int64)
+    b_arr = cand["b"].to_numpy(dtype=np.int64)
+    pid_range = np.arange(n_pairs, dtype=np.int64)
+    docs = np.concatenate([a_arr, b_arr])
+    pids = np.concatenate([pid_range, pid_range])
+    sides = np.concatenate([np.zeros(n_pairs, np.int8), np.ones(n_pairs, np.int8)])
+    order = np.argsort(docs, kind="stable")
+    member_ref = ray.put((docs[order], pids[order], sides[order], a_arr, b_arr))
+
+    # pairs hash into a bounded number of verify partitions — the
+    # groupby then has ~NPARTS groups (not one per pair), so the
+    # per-group overhead amortizes over thousands of pairs while the
+    # shuffle still moves only candidate docs' gram sets
+    NPARTS = 64
 
     class EmitPairGrams:
-        """Emit (pair_id, side, grams) rows for candidate docs only —
-        the corpus-sized grams column is filtered to candidate
-        membership before the only shuffle."""
+        """Emit (part, pair_id, a, b, side, gbytes) rows for candidate
+        docs only — the corpus-sized grams column is filtered to
+        candidate membership before the only shuffle. Fully
+        vectorized: membership resolves via searchsorted against the
+        broadcast sorted arrays, and each doc's gram set ships as ONE
+        ``\\x00``-joined bytes value repeated per pair (serialized
+        once per doc), not a per-pair string list."""
 
         def __init__(self):
-            self._members = None
+            self._m = None
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self._members is None:
-                self._members = ray.get(member_ref)
-            out = {"pair_id": [], "side": [], "grams": []}
-            for doc, grams in zip(batch["doc_id"], batch["grams"]):
-                for pid, side in self._members.get(int(doc), ()):
-                    out["pair_id"].append(pid)
-                    out["side"].append(side)
-                    out["grams"].append(list(grams))
-            if not out["pair_id"]:
-                return pd.DataFrame(
-                    {"pair_id": pd.Series([], dtype="int64"),
-                     "side": pd.Series([], dtype="int64"),
-                     "grams": pd.Series([], dtype="object")})
-            return pd.DataFrame(out)
+            empty = pd.DataFrame(
+                {"part": pd.Series([], dtype="int64"),
+                 "pair_id": pd.Series([], dtype="int64"),
+                 "a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "side": pd.Series([], dtype="int64"),
+                 "gbytes": pd.Series([], dtype="object")})
+            if self._m is None:
+                self._m = ray.get(member_ref)
+            docs_s, pids_s, sides_s, a_by_pid, b_by_pid = self._m
+            d = batch["doc_id"].to_numpy(dtype=np.int64)
+            lo = np.searchsorted(docs_s, d, "left")
+            hi = np.searchsorted(docs_s, d, "right")
+            counts = hi - lo
+            if not counts.sum():
+                return empty
+            sel = np.concatenate(
+                [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
+            )
+            pid_sel = pids_s[sel]
+            gb_per_doc = np.empty(len(d), dtype=object)
+            for i, grams in enumerate(batch["grams"]):
+                if counts[i]:
+                    gb_per_doc[i] = "\x00".join(grams).encode()
+            return pd.DataFrame(
+                {"part": pid_sel % NPARTS,
+                 "pair_id": pid_sel,
+                 "a": a_by_pid[pid_sel],
+                 "b": b_by_pid[pid_sel],
+                 "side": sides_s[sel].astype(np.int64),
+                 "gbytes": np.repeat(gb_per_doc, counts)})
 
-    def verify_pair(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Exact-Jaccard verify for every pair in one partition:
+        boundary walk over rows sorted by pair_id, sets built from the
+        serialized gram bytes (one C-level split per row)."""
         empty = pd.DataFrame(
-            {"pair_id": pd.Series([], dtype="int64"),
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
              "jaccard": pd.Series([], dtype="float64")})
-        if len(g) != 2:
-            return empty
-        g = g.sort_values("side")
-        ga, gb = set(g["grams"].iloc[0]), set(g["grams"].iloc[1])
-        inter = len(ga & gb)
-        j = inter / (len(ga) + len(gb) - inter) if inter else 0.0
-        if j < threshold:
-            return empty
-        return pd.DataFrame({"pair_id": [int(g["pair_id"].iloc[0])],
-                             "jaccard": [round(j, 6)]})
+        g = g.sort_values(["pair_id", "side"])
+        pids = g["pair_id"].to_numpy()
+        grams_col = g["gbytes"].to_numpy()
+        a_col = g["a"].to_numpy()
+        b_col = g["b"].to_numpy()
+        out = {"a": [], "b": [], "jaccard": []}
+        i, n = 0, len(g)
+        while i < n:
+            if i + 1 < n and pids[i + 1] == pids[i]:
+                ra, rb = bytes(grams_col[i]), bytes(grams_col[i + 1])
+                ga = set(ra.split(b"\x00")) if ra else set()
+                gb = set(rb.split(b"\x00")) if rb else set()
+                inter = len(ga & gb)
+                j = inter / (len(ga) + len(gb) - inter) if inter else 0.0
+                if j >= threshold:
+                    out["a"].append(int(a_col[i]))
+                    out["b"].append(int(b_col[i]))
+                    out["jaccard"].append(round(j, 6))
+                i += 2
+            else:
+                i += 1  # orphan side (doc missing from grams) — skip
+        return pd.DataFrame(out) if out["a"] else empty
 
     verified = (
         grams_ds.map_batches(EmitPairGrams(), batch_format="pandas")
-        .groupby("pair_id")
-        .map_groups(verify_pair, batch_format="pandas")
+        .groupby("part")
+        .map_groups(verify_part, batch_format="pandas")
         .to_pandas()
     )
-    out = pd.DataFrame(
-        {"a": [pair_ids[int(p)][0] for p in verified["pair_id"]],
-         "b": [pair_ids[int(p)][1] for p in verified["pair_id"]],
-         "jaccard": verified["jaccard"]}
-    ).sort_values(["a", "b"]).reset_index(drop=True)
+    out = verified.sort_values(["a", "b"]).reset_index(drop=True)
     if out.empty:
         out = pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),

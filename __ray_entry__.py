@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_extract_text": cq.crawl_extract_text,
         "crawl_index_surt": cq.crawl_index_surt,
         "crawl_inbound_links": cq.crawl_inbound_links,
+        "crawl_link_graph": cq.crawl_link_graph,
+        "crawl_timespan": cq.crawl_timespan,
         "crawl_order": cq.crawl_order,  # rows-only (engine-defined order)
         # --- relational / streaming ---
         "pricing_summary": relational.pricing_summary,
@@ -139,6 +141,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS url
             FROM reach
             WHERE (2*i+1) % {n_docs} = 0 OR (3*i+7) % {n_docs} = 0""",
+        "crawl_link_graph": _REACH + f"""
+            , links AS (
+                SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS src,
+                       'http://docs.test/doc/' || CAST((2*i+1) % {n_docs} AS VARCHAR) AS dst
+                FROM reach
+                UNION
+                SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS src,
+                       'http://docs.test/doc/' || CAST((3*i+7) % {n_docs} AS VARCHAR) AS dst
+                FROM reach
+            )
+            SELECT dst, CAST(COUNT(DISTINCT src) AS BIGINT) AS n_inbound
+            FROM links GROUP BY dst""",
+        "crawl_timespan": _REACH + """
+            SELECT CAST(1514764800 + MIN(i) AS BIGINT) AS min_ts,
+                   CAST(1514764800 + MAX(i) AS BIGINT) AS max_ts
+            FROM reach""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 4) AS sum_qty,

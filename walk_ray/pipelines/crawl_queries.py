@@ -26,6 +26,8 @@ __all__ = [
     "crawl_extract_text",
     "crawl_index_surt",
     "crawl_inbound_links",
+    "crawl_link_graph",
+    "crawl_timespan",
     "crawl_order",
 ]
 
@@ -119,6 +121,31 @@ def crawl_inbound_links(sf_dir: str, target: str = "http://docs.test/doc/0"):
 
     res = docs_crawl(sf_dir)
     return inbound_links(res["resources_dir"], target)
+
+
+def crawl_link_graph(sf_dir: str):
+    """Inverted link graph over the crawl (J5 generalization /
+    A7 inbound counts): (dst, n_inbound) — SQL twin: the reach CTE's
+    link arithmetic grouped by target."""
+    from .query import link_graph
+
+    res = docs_crawl(sf_dir)
+    df = link_graph(res["resources_dir"]).to_pandas()
+    df["n_inbound"] = df["n_inbound"].astype("int64")
+    return df[["dst", "n_inbound"]].sort_values("dst").reset_index(drop=True)
+
+
+def crawl_timespan(sf_dir: str):
+    """Walk timespan (A4) as epoch seconds — SQL twin: warc_ts of doc
+    i is base + i seconds (generator `_ts`), min/max over reach."""
+    from .query import timespan
+
+    res = docs_crawl(sf_dir)
+    lo, hi = timespan(res["resources_dir"])
+    return pd.DataFrame(
+        {"min_ts": [int(pd.Timestamp(lo).value // 1_000_000_000)],
+         "max_ts": [int(pd.Timestamp(hi).value // 1_000_000_000)]}
+    )
 
 
 def crawl_order(sf_dir: str):

@@ -45,18 +45,19 @@ def pricing_summary(sf_dir: str):
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(
-                sum_qty=("l_quantity", "sum"),
-                sum_base_price=("l_extendedprice", "sum"),
-                sum_revenue=("revenue", "sum"),
-                count_order=("l_quantity", "size"),
-            )
+        # zero-copy Arrow kernels end-to-end: compute + hash-aggregate
+        # in C++, no pandas materialization
+        revenue = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        t = batch.append_column("revenue", revenue)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("revenue", "sum"), ("l_quantity", "count")]
+        )
+        renames = {"l_quantity_sum": "sum_qty", "l_extendedprice_sum": "sum_base_price",
+                   "revenue_sum": "sum_revenue", "l_quantity_count": "count_order"}
+        return g.rename_columns([renames.get(c, c) for c in g.column_names])
 
     out = (
         ds.map_batches(partial, batch_format="pyarrow")

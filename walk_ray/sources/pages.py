@@ -62,9 +62,14 @@ def prepare_page_partitions(pages_path: str, meta_path: str, out_dir: str, n_par
     import ray.data as rd
 
     stamp = os.path.join(out_dir, "DONE")
-    tag = f"{pages_path}|{meta_path}|{n_parts}|v2"  # v2: + headers column
+    tag = f"{pages_path}|{meta_path}|{n_parts}|v3"  # v3: + headers column, clean rebuild
     if os.path.exists(stamp) and open(stamp).read() == tag:
         return out_dir
+    # stale or partial cache: wipe before re-partitioning (write_parquet
+    # appends new files; leftovers from an older schema must not linger)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     # meta is narrow — broadcast it as a dict.

@@ -118,3 +118,15 @@ def test_shard_routing_stable():
     h2 = shard_of(url_hash64_batch(urls), 8)
     assert (h1 == h2).all()
     assert len(set(h1.tolist())) == 8
+
+
+def test_proportional_pop_budgets():
+    from walk_ray.pipelines.crawl import _proportional_budgets
+
+    # unknown sizes -> uniform
+    assert _proportional_budgets(None, 100, 4) == [26, 26, 26, 26]
+    # skewed sizes -> hot shard gets most of the global budget
+    b = _proportional_budgets([970, 10, 10, 10], 100, 4)
+    assert b[0] >= 90 and all(x >= 1 for x in b[1:])
+    # empty shards still get the minimum
+    assert _proportional_budgets([0, 0, 0, 0], 100, 4) == [26, 26, 26, 26]

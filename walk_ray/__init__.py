@@ -8,4 +8,11 @@ __version__ = "0.1.0"
 from .pipelines.crawl import CrawlConfig, CrawlJob  # noqa: F401
 from .sources.testgen import generate_pages  # noqa: F401
 
-__all__ = ["CrawlConfig", "CrawlJob", "generate_pages", "__version__"]
+
+def serve(workdirs, port: int = 2783):  # lazy: the server pulls in ray.data
+    from .server import serve as _serve
+
+    return _serve(workdirs, port)
+
+
+__all__ = ["CrawlConfig", "CrawlJob", "generate_pages", "serve", "__version__"]

@@ -369,6 +369,16 @@ def _attach_seq_impl(table: pa.Table, seqs, epoch: int, order_path: str, n_chunk
     return chunks[0] if n_chunks == 1 else tuple(chunks)
 
 
+def _proportional_budgets(sizes, total_budget: int, n: int) -> list[int]:
+    """Split a global pop budget across frontier shards proportionally
+    to their queue sizes (uniform when sizes are unknown or zero).
+    Every non-empty shard gets at least 1 so no shard starves."""
+    if not sizes or sum(sizes) == 0:
+        return [total_budget // n + 1] * n
+    total = sum(sizes)
+    return [max(1, (total_budget * sz) // total + 1) for sz in sizes]
+
+
 class _Metrics:
     """Tiny counter actor: per-epoch counters accumulated from stages."""
 
@@ -483,6 +493,9 @@ class CrawlJob:
         if keep:
             _push_rows_to_frontier(self.frontier, rows)
 
+    def _pop_budgets(self, max_pop: int) -> list[int]:
+        return _proportional_budgets(self._shard_sizes, max_pop, len(self.frontier))
+
     # -- epoch loop ----------------------------------------------------
 
     def run(self, resume: bool = False) -> dict:
@@ -495,6 +508,7 @@ class CrawlJob:
 
         self.vnow = 0.0
         self._last_speedup_v = 0.0  # virtual time of last backoff recovery tick
+        self._shard_sizes: list[int] | None = None  # queue sizes after last epoch
         self.seq_counter = 0
         self.done_total = 0
         epoch = 0
@@ -519,11 +533,16 @@ class CrawlJob:
             # payload go straight from shard to fetch tasks.
             import numpy as np
 
+            # per-shard pop budgets proportional to queue sizes (from
+            # the previous epoch's size scan): under host skew a hot
+            # shard gets most of max_pop_per_epoch instead of an equal
+            # 1/n slice while the others idle. Deterministic — sizes
+            # are a pure function of the crawl state.
+            budgets = self._pop_budgets(cfg.max_pop_per_epoch)
             results = ray.get(
                 [
-                    f.pop_ready_refs.remote(self.vnow, cfg.horizon_sec,
-                                            cfg.max_pop_per_epoch // len(self.frontier) + 1)
-                    for f in self.frontier
+                    f.pop_ready_refs.remote(self.vnow, cfg.horizon_sec, b)
+                    for f, b in zip(self.frontier, budgets)
                 ]
             )
             keys_list = [k for k, _ in results]
@@ -646,6 +665,7 @@ class CrawlJob:
                       flush=True)
             self.done_total += counters.get("done", 0)
             sizes = ray.get([f.size.remote() for f in self.frontier])
+            self._shard_sizes = sizes
             seen_sizes = ray.get([s.size.remote() for s in self.seen])
             self.metrics_rows.append(
                 {

@@ -65,6 +65,7 @@ class Collection:
 
     def __init__(self, workdirs: list[str]):
         self.walks: dict[str, dict] = {}
+        self._index_cache: dict[str, object] = {}
         for wd in workdirs:
             wid = os.path.basename(os.path.normpath(wd))
             res = os.path.join(wd, "resources")
@@ -89,10 +90,17 @@ class Collection:
     def walk_ids(self) -> list[str]:
         return sorted(self.walks)
 
-    def sorted_index(self, walk_id: str | None, limit: int, offset: int) -> list[dict]:
-        """SURT-sorted index rows [offset, offset+limit) over one walk
-        or the whole collection (lib/walk.go:89-109, lib/collection.go:57-73)."""
-        from .pipelines.query import build_index, sorted_index as _sorted_index
+    def _index_ds(self, walk_id: str | None):
+        """SURT-sorted index Dataset for one walk or the collection,
+        built once and MATERIALIZED (narrow metadata blocks pinned in
+        the object store, spillable) — requests page out of the cached
+        sort instead of re-sorting per hit. Mirrors walk loading
+        ``index.cdxj`` once at open (lib/walk.go:42-64)."""
+        key = walk_id or ""
+        ds = self._index_cache.get(key)
+        if ds is not None:
+            return ds
+        from .pipelines.query import build_index
 
         dirs = (
             [self.walks[walk_id]["resources"]]
@@ -100,21 +108,30 @@ class Collection:
             else [w["resources"] for w in self.walks.values()]
         )
         if not dirs:
-            return []
+            return None
         if len(dirs) == 1:
-            ds = _sorted_index(dirs[0], limit=limit, offset=offset)
+            src = dirs[0]
         else:
             import ray.data as rd
 
             parts = [rd.read_parquet(d) for d in dirs]
-            u = parts[0]
+            src = parts[0]
             for p in parts[1:]:
-                u = u.union(p)
-            ds = build_index(u)
-            if offset > 0:
-                ds = ds.split_at_indices([offset])[1]
-            if limit >= 0:
-                ds = ds.limit(limit)
+                src = src.union(p)
+        ds = build_index(src).materialize()
+        self._index_cache[key] = ds
+        return ds
+
+    def sorted_index(self, walk_id: str | None, limit: int, offset: int) -> list[dict]:
+        """SURT-sorted index rows [offset, offset+limit) over one walk
+        or the whole collection (lib/walk.go:89-109, lib/collection.go:57-73)."""
+        ds = self._index_ds(walk_id)
+        if ds is None:
+            return []
+        if offset > 0:
+            ds = ds.split_at_indices([offset])[1]
+        if limit >= 0:
+            ds = ds.limit(limit)
         rows = ds.take_all() if limit < 0 else ds.take(limit) if limit else []
         for r in rows:
             r["timestamp"] = _rfc3339(r.get("timestamp"))

@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": text.quality_scores,
         "lang_id": text.lang_id,
         "text_fingerprint": text.text_fingerprint,
+        "winnow_fingerprints": text.winnow_fingerprints,  # rows-only (rolling-hash selection; pytest-pinned)
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(

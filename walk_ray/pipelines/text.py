@@ -24,6 +24,8 @@ __all__ = [
     "quality_scores",
     "lang_id",
     "text_fingerprint",
+    "winnow_doc",
+    "winnow_fingerprints",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -136,3 +138,75 @@ def text_fingerprint(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
+
+
+def winnow_doc(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03) over word k-gram hashes: from every window of
+    ``window`` consecutive k-gram hashes keep the minimum (rightmost
+    minimum on ties — the standard robust-winnowing rule), dedup
+    consecutive selections. Deterministic; numpy-vectorized.
+    """
+    import hashlib
+
+    import numpy as np
+
+    words = text.split()
+    if len(words) < k:
+        grams = [" ".join(words)] if words else []
+    else:
+        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not grams:
+        return []
+    h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 1
+         for g in grams),
+        dtype=np.uint64, count=len(grams),
+    )
+    if len(h) <= window:
+        return [int(h.min())]
+    # sliding windows (n-window+1, window); rightmost-min = argmin on
+    # the reversed window
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    rev = win[:, ::-1]
+    right_idx = window - 1 - np.argmin(rev, axis=1)
+    picks = win[np.arange(len(win)), right_idx]
+    pos = np.arange(len(win)) + right_idx
+    # keep each selected position once (consecutive windows often pick
+    # the same gram)
+    keep = np.ones(len(pos), dtype=bool)
+    keep[1:] = pos[1:] != pos[:-1]
+    return [int(v) for v in picks[keep]]
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
+    """Per-doc winnowing summary: (doc_id, n_fingerprints, fp_min,
+    fp_xor) — the rolling-hash document-fingerprinting stage of a
+    training-data pipeline. Rows-only driver check (the selection rule
+    is not SQL-expressible); pinned by a pure-python reference in
+    pytest."""
+
+    class Winnow:
+        def __init__(self):
+            self.k = k
+            self.window = window
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            n_fp, fp_min, fp_xor = [], [], []
+            for t in batch["text"].fillna(""):
+                fps = winnow_doc(t, self.k, self.window)
+                n_fp.append(len(fps))
+                fp_min.append(min(fps) if fps else 0)
+                x = 0
+                for v in fps:
+                    x ^= v
+                fp_xor.append(x)
+            out = pd.DataFrame({"doc_id": batch["doc_id"]})
+            out["n_fingerprints"] = pd.Series(n_fp, dtype="int64").values
+            out["fp_min"] = pd.Series(fp_min, dtype="uint64").values
+            out["fp_xor"] = pd.Series(fp_xor, dtype="uint64").values
+            return out
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(Winnow(), batch_format="pandas")

@@ -114,6 +114,13 @@ def _bench_queries() -> dict:
 
     timings = {}
 
+    # untimed settle: the crawl leaves worker churn / stats traffic
+    # behind; a throwaway pipeline absorbs it so the first timed query
+    # measures itself, not cluster settling
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS).map_batches(lambda b: b).count()
+
     def run(name, fn):
         t0 = time.monotonic()
         r = fn()

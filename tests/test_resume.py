@@ -66,3 +66,44 @@ def test_resume_matches_uninterrupted(tmp_path):
         return list(zip(t["epoch"].to_pylist(), t["seq"].to_pylist(), t["url"].to_pylist()))
 
     assert order(resumed) == order(ref)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_with_politeness_delay_keeps_order(tmp_path):
+    """A delayed (paced) crawl resumed from checkpoint assigns the
+    SAME fetch_after values and crawl order as an uninterrupted run —
+    requires host_next persisting in the frontier checkpoint."""
+    gen = generate_pages("self_linking", str(tmp_path / "gen"))
+
+    def mk(workdir):
+        cfg = CrawlConfig.from_job_json(
+            gen["job"], n_frontier_shards=2, n_seen_shards=2, n_page_parts=2,
+            checkpoint_every=1, delay_milli=400,
+        )
+        return CrawlJob(cfg, gen["pages"], gen["pages_meta"], workdir)
+
+    ref = mk(str(tmp_path / "ref")).run()
+
+    crash_dir = str(tmp_path / "crash")
+    job = mk(crash_dir)
+    orig_ckpt = job._checkpoint
+
+    def exploding_ckpt(epoch, final=False):
+        orig_ckpt(epoch, final=final)
+        if not final and epoch >= 0:
+            raise _StopAfterEpoch()
+
+    job._checkpoint = exploding_ckpt
+    with pytest.raises(_StopAfterEpoch):
+        job.run()
+
+    resumed = mk(crash_dir).run(resume=True)
+
+    def order(res):
+        t = pq.read_table(res["order_dir"]).sort_by(
+            [("epoch", "ascending"), ("seq", "ascending")]
+        )
+        return list(zip(t["epoch"].to_pylist(), t["seq"].to_pylist(),
+                        t["url"].to_pylist(), t["fetch_after"].to_pylist()))
+
+    assert order(resumed) == order(ref)

@@ -7,19 +7,22 @@
   in a final tiny reduction. This is the exactness baseline AND the
   standard distributed brute-force shape (scales linearly in data,
   constant in queries).
-- :func:`ann_ivf_topk` — IVF variant: deterministic k-means coarse
-  centroids (seeded, few Lloyd iterations on a driver-side sample),
-  inverted-list assignment as a Dataset column, probe ``nprobe``
-  nearest lists per query. The scale path: only ~nprobe/nlist of the
-  data is scanned per query.
+- :func:`build_ivf_index` / :func:`ann_ivf_topk` — IVF variant:
+  deterministic k-means coarse centroids (seeded, trained on a bounded
+  Dataset sample), embeddings materialized ONCE as parquet partitioned
+  by inverted-list cell; queries read only the union of their
+  ``nprobe`` probed cells' partitions. The scale path: ~nprobe/nlist
+  of the data is READ (I/O pruning, not just compute masking).
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
-__all__ = ["ann_brute_topk", "ann_ivf_topk", "kmeans_fit"]
+__all__ = ["ann_brute_topk", "ann_ivf_topk", "build_ivf_index", "kmeans_fit"]
 
 
 def _load_query_vectors(sf_dir: str, query_ids: list[int]) -> np.ndarray:
@@ -117,21 +120,13 @@ def kmeans_fit(mat: np.ndarray, n_clusters: int, seed: int = 11, iters: int = 10
     return centroids
 
 
-def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
-                 nlist: int = 16, nprobe: int = 4, sample: int = 4096, seed: int = 11):
-    """IVF-flat approximate top-k: scan only the ``nprobe`` closest
-    inverted lists per query. Returns (query_id, neighbor_id, cosine,
-    rank) like the brute baseline (approximate recall)."""
-    import ray
+def _train_quantizer(sf_dir: str, nlist: int, sample: int, seed: int) -> np.ndarray:
+    """Deterministic coarse quantizer from a bounded Dataset sample —
+    the driver never reads the full table."""
     import ray.data as rd
 
-    import ray.data as rd_
-
-    query_ids = query_ids if query_ids is not None else list(range(10))
-    # quantizer trains on a bounded Dataset sample; queries come from a
-    # pushed-down filtered read — no full-table driver materialization
     train = np.asarray(
-        rd_.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .limit(sample)
         .to_pandas()["embedding"]
         .tolist(),
@@ -139,8 +134,76 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     )
     tn = np.linalg.norm(train, axis=1, keepdims=True)
     tn[tn == 0] = 1.0
-    train = train / tn
-    centroids = kmeans_fit(train, min(nlist, len(train)), seed=seed)
+    return kmeans_fit(train / tn, min(nlist, len(train)), seed=seed)
+
+
+def build_ivf_index(sf_dir: str, index_dir: str, nlist: int = 16, sample: int = 4096,
+                    seed: int = 11) -> str:
+    """Materialize the IVF index ONCE: embeddings written as parquet
+    hash-partitioned by coarse-cell assignment (``cell=K/``) plus the
+    centroid matrix. Queries then READ only their probed cells'
+    partitions — the 100-TB shape where probing prunes I/O, not just
+    compute. Fingerprint-cached like the page partitions."""
+    import ray
+    import ray.data as rd
+
+    stamp = os.path.join(index_dir, "DONE")
+    tag = f"{os.path.abspath(sf_dir)}|{nlist}|{sample}|{seed}|v1"
+    if os.path.exists(stamp) and open(stamp).read() == tag:
+        return index_dir
+    import shutil
+
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    centroids = _train_quantizer(sf_dir, nlist, sample, seed)
+    np.save(os.path.join(index_dir, "centroids.npy"), centroids)
+    cent_ref = ray.put(centroids)
+
+    class Assign:
+        def __init__(self):
+            self._c = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self._c is None:
+                self._c = ray.get(cent_ref)
+            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            batch = batch.copy()
+            cells = np.argmax((vecs / norms) @ self._c.T, axis=1)
+            batch["cell"] = cells       # hive partition key (moves to dir name)
+            batch["cell_id"] = cells    # data copy (partition col is stripped)
+            return batch
+
+    (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(Assign(), batch_format="pandas")
+        .write_parquet(os.path.join(index_dir, "cells"), partition_cols=["cell"])
+    )
+    with open(stamp, "w") as f:
+        f.write(tag)
+    return index_dir
+
+
+def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
+                 nlist: int = 16, nprobe: int = 4, sample: int = 4096, seed: int = 11,
+                 index_dir: str = ""):
+    """IVF-flat approximate top-k over a materialized inverted index:
+    only the union of the queries' ``nprobe`` nearest cells is READ
+    (partition-pruned parquet), so both I/O and compute scale with
+    nprobe/nlist of the data. Returns (query_id, neighbor_id, cosine,
+    rank) like the brute baseline (approximate recall)."""
+    import hashlib as _hashlib
+
+    import ray
+    import ray.data as rd
+
+    query_ids = query_ids if query_ids is not None else list(range(10))
+    if not index_dir:
+        h = _hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+        index_dir = f"/tmp/walk_ray_ivf/{h}_n{nlist}_s{sample}_r{seed}"
+    build_ivf_index(sf_dir, index_dir, nlist, sample, seed)
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
     q_mat = _load_query_vectors(sf_dir, query_ids)
     probe_lists = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]  # (Q, nprobe)
     ref = ray.put((np.asarray(query_ids, dtype=np.int64), q_mat, centroids, probe_lists))
@@ -158,7 +221,9 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
             norms = np.linalg.norm(vecs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             vecs = vecs / norms
-            assign = np.argmax(vecs @ self.centroids.T, axis=1)  # inverted-list id
+            # inverted-list id comes off the stored cell_id column —
+            # no re-assignment compute
+            assign = batch["cell_id"].to_numpy(dtype=np.int64)
             vids = batch["vec_id"].to_numpy()
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
             sims = self.q @ vecs.T
@@ -177,8 +242,18 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
                     out["cosine"].append(float(sims[qi, j]))
             return pd.DataFrame(out)
 
+    # READ only the probed cells' partitions (union over queries) —
+    # unprobed cells' files are never opened
+    import glob as _glob
+
+    probed_cells = sorted({int(c) for row in probe_lists for c in row})
+    cell_files = [
+        f
+        for c in probed_cells
+        for f in sorted(_glob.glob(os.path.join(index_dir, "cells", f"cell={c}", "*.parquet")))
+    ]
     partials = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        rd.read_parquet(cell_files, columns=["vec_id", "embedding", "cell_id"])
         .map_batches(ProbeTopK(), batch_format="pandas", batch_size=2048)
         .to_pandas()
     )

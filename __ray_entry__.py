@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational / streaming ---
         "pricing_summary": relational.pricing_summary,
         "orders_by_nation": relational.orders_by_nation,
+        # same result via the partitioned hash join (no-broadcast path
+        # for large dimension sides) — same oracle SQL
+        "orders_by_nation_shuffle": relational.orders_by_nation_shuffle,
         "top_parts_by_revenue": relational.top_parts_by_revenue,
         "events_tumbling_window": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
@@ -165,6 +168,14 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+        "orders_by_nation_shuffle": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 4) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
         "orders_by_nation": """
             SELECT n.n_name,
                    COUNT(*) AS n_orders,

@@ -1,0 +1,37 @@
+"""Partitioned hash join (bucketed co-partition + local pandas merge):
+Ray Data has no native join; this is the engine's no-broadcast path."""
+
+import pandas as pd
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_join_matches_pandas_merge():
+    import ray.data as rd
+
+    from walk_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"rk": [2, 2, 3, 4], "rv": [10, 20, 30, 40]})
+    got = (
+        hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk", n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    assert got[want.columns.tolist()].equals(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shuffle_join_equals_broadcast_join():
+    from walk_ray.pipelines.relational import orders_by_nation, orders_by_nation_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    a = orders_by_nation(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+    b = orders_by_nation_shuffle(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
+    assert a.equals(b)

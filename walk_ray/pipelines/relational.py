@@ -21,6 +21,8 @@ __all__ = [
     "events_sessionize",
     "latest_event_per_user",
     "top_parts_by_revenue",
+    "hash_join",
+    "orders_by_nation_shuffle",
 ]
 
 
@@ -93,6 +95,9 @@ def orders_by_nation(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     class AddNation:
+        """Broadcast-join + per-batch PARTIAL aggregation: the groupby
+        shuffle moves one row per nation per batch, not per order."""
+
         def __init__(self):
             self._loaded = False
 
@@ -102,15 +107,19 @@ def orders_by_nation(sf_dir: str):
                 self._loaded = True
             nk = batch["o_custkey"].map(self.cust_map)
             batch["n_name"] = nk.map(self.nation_map)
-            return batch[["n_name", "o_totalprice"]]
+            return (
+                batch.groupby("n_name", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     total_price=("o_totalprice", "sum"))
+            )
 
     out = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
         .map_batches(AddNation(), batch_format="pandas")
         .groupby("n_name")
         .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="total_price"),
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("total_price", alias_name="total_price"),
         )
     )
 
@@ -195,8 +204,12 @@ def top_parts_by_revenue(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
 
     def rev(batch: pa.Table) -> pa.Table:
+        # partial per-batch aggregation in Arrow: the shuffle carries
+        # one row per distinct partkey per batch
         r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        return pa.table({"l_partkey": batch["l_partkey"], "revenue": r})
+        t = pa.table({"l_partkey": batch["l_partkey"], "revenue": r})
+        g = t.group_by(["l_partkey"]).aggregate([("revenue", "sum")])
+        return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
 
     out = (
         ds.map_batches(rev, batch_format="pyarrow")
@@ -211,3 +224,99 @@ def top_parts_by_revenue(sf_dir: str, k: int = 20):
         return batch
 
     return out.map_batches(finish, batch_format="pandas")
+
+
+def orders_by_nation_shuffle(sf_dir: str):
+    """orders ⋈ customer via the partitioned hash join (the
+    no-broadcast path for when the dimension side is NOT small), then
+    the nation lookup (25 rows — genuinely broadcastable) and the same
+    grouped aggregate as :func:`orders_by_nation`. Same oracle SQL."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders, customer, "o_custkey", "c_custkey")
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class Partial:
+        def __init__(self):
+            self._m = None
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            if self._m is None:
+                self._m = ray.get(nation_ref)
+            batch["n_name"] = batch["c_nationkey"].map(self._m)
+            return (
+                batch.groupby("n_name", as_index=False)
+                .agg(n_orders=("o_totalprice", "size"),
+                     total_price=("o_totalprice", "sum"))
+            )
+
+    out = (
+        joined.map_batches(Partial(), batch_format="pandas")
+        .groupby("n_name")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_price", alias_name="total_price"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["total_price"] = batch["total_price"].round(4)
+        batch["n_orders"] = batch["n_orders"].astype("int64")
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 64,
+              how: str = "inner"):
+    """Distributed partitioned hash join (Ray Data has no native join):
+    both sides bucket by ``hash(key) % n_buckets``, union, and each
+    bucket merges locally with a vectorized pandas merge inside
+    ``map_groups``. Buckets (not keys) are the groups, so the group
+    count stays bounded regardless of key cardinality — the shape for
+    joining two LARGE tables where neither side can broadcast.
+
+    Schemas are aligned for the union by adding the other side's
+    columns as nulls; ``__side`` tags rows. Key columns may differ in
+    name (``left_on``/``right_on``).
+    """
+    import hashlib as _hl
+
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def _bucket_of(vals) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(_hl.blake2b(str(v).encode(), digest_size=4).digest(), "big")
+             % n_buckets for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
+
+    def tag(side: int, key: str):
+        def _t(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = None
+            out["__side"] = side
+            out["__bucket"] = _bucket_of(batch[key])
+            return out[all_cols + ["__side", "__bucket"]]
+
+        return _t
+
+    tagged = left.map_batches(tag(0, left_on), batch_format="pandas").union(
+        right.map_batches(tag(1, right_on), batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        # null-padding for the union upcasts to object; after the side
+        # split no nulls remain, so native dtypes are recoverable
+        lg = g[g["__side"] == 0][left_cols].infer_objects()
+        rg = g[g["__side"] == 1][right_cols].infer_objects()
+        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")

@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": relational.events_tumbling_window,
         "events_sessionize": relational.events_sessionize,
         "latest_event_per_user": relational.latest_event_per_user,
+        # distributed AS-OF join (bucketed co-partition + merge_asof)
+        "events_last_order": relational.events_last_order,
         # --- text analysis ---
         "token_stats": text.token_stats,
         "quality_scores": text.quality_scores,
@@ -216,6 +218,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM sessions GROUP BY user_id, session_id""",
+        "events_last_order": """
+            SELECT e.event_id, CAST(FLOOR(epoch(o.o_orderdate)) AS BIGINT) AS last_order_ts
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts""",
         "latest_event_per_user": """
             SELECT user_id, event_id, event_type, value FROM (
                 SELECT *, ROW_NUMBER() OVER (

@@ -35,3 +35,33 @@ def test_shuffle_join_equals_broadcast_join():
     a = orders_by_nation(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
     b = orders_by_nation_shuffle(sf).to_pandas().sort_values("n_name").reset_index(drop=True)
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_asof_join_matches_pandas_merge_asof():
+    import ray.data as rd
+
+    from walk_ray.pipelines.relational import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 2, 2, 3], "t": [10, 20, 10, 30, 5],
+                         "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"rk": [1, 1, 2, 4], "rt": [5, 15, 25, 1],
+                          "rv": [100, 200, 300, 400]})
+    got = (
+        asof_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk", "t", "rt",
+                  n_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(left.sort_values("t"), right.sort_values("rt"),
+                      left_on="t", right_on="rt", left_by="k", right_by="rk",
+                      direction="backward")
+        .dropna(subset=["rt"])
+        .sort_values(["k", "t"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ["k", "t", "rv"]:
+        assert (got[c].astype("int64").values == want[c].astype("int64").values).all(), c

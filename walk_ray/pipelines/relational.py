@@ -22,7 +22,9 @@ __all__ = [
     "latest_event_per_user",
     "top_parts_by_revenue",
     "hash_join",
+    "asof_join",
     "orders_by_nation_shuffle",
+    "events_last_order",
 ]
 
 
@@ -320,3 +322,91 @@ def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 64,
         return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
 
     return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def asof_join(left, right, left_key: str, right_key: str, left_time: str,
+              right_time: str, n_buckets: int = 64, suffix: str = "_r"):
+    """Distributed AS-OF join: each left row matches the LATEST right
+    row with the same key and ``right_time <= left_time`` (inner —
+    unmatched left rows drop). Same bucketed co-partition as
+    :func:`hash_join`; inside a bucket the match is a vectorized
+    ``pandas.merge_asof`` (backward direction) over time-sorted
+    frames. Group count = n_buckets, independent of key cardinality.
+    """
+    import hashlib as _hl
+
+    left_cols = [c for c in left.schema().names]
+    right_cols = [c for c in right.schema().names]
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def _bucket_of(vals) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(_hl.blake2b(str(v).encode(), digest_size=4).digest(), "big")
+             % n_buckets for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
+
+    def tag(side: int, key: str):
+        def _t(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch.copy()
+            for c in all_cols:
+                if c not in out.columns:
+                    out[c] = None
+            out["__side"] = side
+            out["__bucket"] = _bucket_of(batch[key])
+            return out[all_cols + ["__side", "__bucket"]]
+
+        return _t
+
+    tagged = left.map_batches(tag(0, left_key), batch_format="pandas").union(
+        right.map_batches(tag(1, right_key), batch_format="pandas")
+    )
+
+    rename_right = {c: c + suffix for c in right_cols if c in left_cols}
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0][left_cols].infer_objects()
+        rg = g[g["__side"] == 1][right_cols].infer_objects().rename(columns=rename_right)
+        rk = rename_right.get(right_key, right_key)
+        rt = rename_right.get(right_time, right_time)
+        if lg.empty or rg.empty:
+            cols = list(lg.columns) + [c for c in rg.columns if c not in lg.columns]
+            return pd.DataFrame({c: pd.Series([], dtype="object") for c in cols})
+        # the union's null-padding can upcast one side's key/time to
+        # object — align dtypes pairwise before the ordered merge
+        for a_col, b_col in ((left_time, rt), (left_key, rk)):
+            if lg[a_col].dtype != rg[b_col].dtype:
+                try:
+                    rg[b_col] = rg[b_col].astype(lg[a_col].dtype)
+                except (TypeError, ValueError):
+                    lg[a_col] = lg[a_col].astype(rg[b_col].dtype)
+        lg = lg.sort_values(left_time, kind="mergesort")
+        rg = rg.sort_values(rt, kind="mergesort")
+        out = pd.merge_asof(
+            lg, rg, left_on=left_time, right_on=rt,
+            left_by=left_key, right_by=rk, direction="backward",
+        )
+        return out[out[rt].notna()]  # inner semantics
+
+    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+
+
+def events_last_order(sf_dir: str):
+    """AS-OF join over the testdata: each event matched to its user's
+    most recent order at/before the event time. Output (event_id,
+    last_order_ts epoch-seconds) — deterministic even under order-date
+    ties (the matched DATE is the value). DuckDB twin: native
+    ``ASOF JOIN``."""
+    events = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    j = asof_join(events, orders, "user_id", "o_custkey", "ts", "o_orderdate")
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_id": batch["event_id"].astype("int64")})
+        out["last_order_ts"] = (
+            pd.to_datetime(batch["o_orderdate"]).astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000
+        ).astype("int64")
+        return out
+
+    return j.map_batches(project, batch_format="pandas")

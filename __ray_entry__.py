@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation_shuffle": relational.orders_by_nation_shuffle,
         "top_parts_by_revenue": relational.top_parts_by_revenue,
         "events_tumbling_window": relational.events_tumbling_window,
+        "events_hopping_window": relational.events_hopping_window,
         "events_sessionize": relational.events_sessionize,
         "latest_event_per_user": relational.latest_event_per_user,
         # distributed AS-OF join (bucketed co-partition + merge_asof)
@@ -197,6 +198,16 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY event_type, window_start""",
+        "events_hopping_window": """
+            WITH e AS (
+                SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, value
+                FROM events
+            )
+            SELECT event_type, CAST(u.s AS BIGINT) AS window_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM e, UNNEST(generate_series((t // 900) * 900 - 2700,
+                                           (t // 900) * 900, 900)) AS u(s)
+            GROUP BY event_type, u.s""",
         "events_sessionize": """
             WITH ordered AS (
                 SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_sec, value,

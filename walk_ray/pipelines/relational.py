@@ -18,6 +18,7 @@ __all__ = [
     "pricing_summary",
     "orders_by_nation",
     "events_tumbling_window",
+    "events_hopping_window",
     "events_sessionize",
     "latest_event_per_user",
     "top_parts_by_revenue",
@@ -410,3 +411,46 @@ def events_last_order(sf_dir: str):
         return out
 
     return j.map_batches(project, batch_format="pandas")
+
+
+def events_hopping_window(sf_dir: str, window_sec: int = 3600, hop_sec: int = 900):
+    """Hopping (sliding) window aggregate: count + sum(value) per
+    (event_type, window) where windows are ``window_sec`` wide and
+    start every ``hop_sec`` — each event lands in
+    ``window_sec/hop_sec`` overlapping windows. The expansion is a
+    vectorized np.repeat inside map_batches; partial per-batch
+    aggregation keeps the shuffle at (type, window) granularity."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    k = window_sec // hop_sec  # windows per event
+
+    def expand_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000).to_numpy()
+        base = (t // hop_sec) * hop_sec  # latest window start containing t
+        starts = np.repeat(base, k) - np.tile(np.arange(k) * hop_sec, len(t))
+        df = pd.DataFrame(
+            {
+                "event_type": np.repeat(batch["event_type"].to_numpy(), k),
+                "window_start": starts,
+                "value": np.repeat(batch["value"].to_numpy(), k),
+            }
+        )
+        return (
+            df.groupby(["event_type", "window_start"], as_index=False)
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        )
+
+    out = (
+        ds.map_batches(expand_partial, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+    )
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["sum_value"] = batch["sum_value"].round(4)
+        batch["n_events"] = batch["n_events"].astype("int64")
+        return batch
+
+    return out.map_batches(finish, batch_format="pandas")

@@ -274,7 +274,17 @@ class CommitStage:
                     cand_urls.append(link)
                     cand_disc.append(d)
             if cand_urls and cfg.polite and self.robots is not None:
-                allowed = ray.get(self.robots.allowed.remote(cand_urls))
+                hosts = [url_host(u) for u in cand_urls]
+                r_shards = shard_of(url_hash64_batch(hosts), len(self.robots))
+                allowed = [True] * len(cand_urls)
+                futures = {}
+                for sh in set(r_shards.tolist()):
+                    idxs = [i for i, x in enumerate(r_shards) if x == sh]
+                    futures[sh] = (idxs, self.robots[sh].allowed.remote(
+                        [cand_urls[i] for i in idxs]))
+                for idxs, fut in futures.values():
+                    for i, a in zip(idxs, ray.get(fut)):
+                        allowed[i] = a
                 cand_urls = [u for u, a in zip(cand_urls, allowed) if a]
                 cand_disc = [d for d, a in zip(cand_disc, allowed) if a]
 
@@ -437,7 +447,14 @@ class CrawlJob:
         self.frontier = [
             Front.remote(i, cfg.delay_milli / 1000.0) for i in range(cfg.n_frontier_shards)
         ]
-        self.robots = ray.remote(RobotsCache).remote(self.stores) if cfg.polite else None
+        # robots caches shard by hash(host) like the frontier — a
+        # single cache actor would serialize every polite epoch at
+        # cluster scale
+        self.robots = (
+            [ray.remote(RobotsCache).remote(self.stores)
+             for _ in range(max(2, cfg.n_frontier_shards // 2))]
+            if cfg.polite else None
+        )
         self.metrics_actor = ray.remote(_Metrics).remote()
         self._attach_seq = ray.remote(_attach_seq_impl)
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects, cfg.record_headers)
@@ -450,7 +467,7 @@ class CrawlJob:
         pings += [f.size.remote() for f in self.frontier]
         pings.append(self.metrics_actor.drain.remote())
         if self.robots is not None:
-            pings.append(self.robots.allowed.remote([]))
+            pings += [r.allowed.remote([]) for r in self.robots]
         ray.get(pings)
 
     # -- seeding -------------------------------------------------------

@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(sf, ANN_QUERY_IDS, ANN_K),  # rows-only
         # --- multimodal plumbing (synthetic media, fake decoder) ---
         "media_features": lambda sf: multimodal.media_features(sf),  # rows-only
+        "media_near_dup": lambda sf: multimodal.media_near_dup(sf),  # rows-only
     }
 
 

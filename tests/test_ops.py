@@ -128,3 +128,27 @@ def test_stop_url(tmp_path):
     res = job.run()
     # stopping at the seed means a/b/c never get fetched
     assert res["done_total"] == 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_near_dup_composes_with_embedding_dedup():
+    """Multimodal features flow through the IVF-blocked near-dup path;
+    blocked pairs must be a subset of exact feature cosines with
+    exactly-computed values."""
+    import numpy as np
+
+    from walk_ray.pipelines import multimodal
+
+    pairs = multimodal.media_near_dup("/root/testdata/sf0.001", threshold=0.99).to_pandas()
+    assert len(pairs) > 0
+    feats = multimodal.decode_media(
+        __import__("ray").data.from_arrow(multimodal.make_media_table(64))
+    ).to_pandas()
+    mat = np.asarray(feats["features"].tolist(), dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = feats["media_id"].to_numpy()
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for a, b, c in zip(pairs["a"], pairs["b"], pairs["cosine"]):
+        true_c = float(mat[pos[int(a)]] @ mat[pos[int(b)]])
+        assert abs(true_c - c) < 1e-6
+        assert true_c >= 0.99

@@ -25,7 +25,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["MEDIA_SCHEMA", "make_media_table", "DecodeStage", "decode_media", "media_features"]
+__all__ = ["MEDIA_SCHEMA", "make_media_table", "DecodeStage", "decode_media", "media_features", "media_near_dup"]
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -138,3 +138,40 @@ def media_features(sf_dir: str, n: int = 64):
     out = decode_media(ds).to_pandas()
     out["feat_mean"] = out["features"].map(lambda f: round(float(np.mean(f)), 4))
     return rd.from_pandas(out[["media_id", "kind", "decode_ok", "feat_mean"]])
+
+
+def media_near_dup(sf_dir: str, n: int = 64, threshold: float = 0.99):
+    """Near-duplicate media by feature cosine: the decode stage's
+    feature vectors feed the SAME IVF-cell-blocked near-dup path as
+    text embeddings (``dedup.embedding_cosine_pairs_blocked``) — the
+    multimodal pipeline composes with the dedup suite instead of
+    reimplementing it. Returns (a, b, cosine) media-id pairs."""
+    import hashlib as _hl
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .dedup import embedding_cosine_pairs_blocked
+
+    # materialize features as an embeddings-shaped table (vec_id,
+    # embedding) — the dedup path reads parquet like any other table
+    tag = _hl.sha256(f"{sf_dir}|{n}|v1".encode()).hexdigest()[:12]
+    feat_dir = f"/tmp/walk_ray_media/feat_{tag}"
+    marker = os.path.join(feat_dir, "embeddings.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(feat_dir, exist_ok=True)
+        feats = decode_media(rd.from_arrow(make_media_table(n))).to_pandas()
+        t = pa.table(
+            {
+                "vec_id": pa.array(feats["media_id"].astype("int64"), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, f)) for f in feats["features"]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+        pq.write_table(t, marker)
+    return embedding_cosine_pairs_blocked(feat_dir, threshold=threshold,
+                                          nlist=4, nassign=2, sample=n)

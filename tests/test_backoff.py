@@ -117,3 +117,49 @@ def test_e2e_429_host_paced_down_while_others_proceed(tmp_path):
     fa0 = run(False)
     slow0 = [b_ - a for a, b_ in zip(fa0["slow.test"], fa0["slow.test"][1:])]
     assert all(d <= 0.2 + 1e-9 for d in slow0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_robots_crawl_delay_paces_host(tmp_path):
+    """Polite crawls honor robots.txt Crawl-delay per host (fetchbot
+    behavior the reference delegates to): the declaring host paces at
+    max(configured, Crawl-delay); others keep the configured delay."""
+    b = SiteBuilder()
+    for i in range(3):
+        b.page(f"http://slowbot.test/p{i}.html", f"S{i}", [],
+               [(f"/p{i+1}.html", "next")])
+    b.page("http://slowbot.test/p3.html", "S3", [], [])
+    b.asset("http://slowbot.test/robots.txt",
+            b"User-agent: *\nCrawl-delay: 2\n", "text/plain; charset=utf-8")
+    for i in range(3):
+        b.page(f"http://fast.test/p{i}.html", f"F{i}", [], [(f"/p{i+1}.html", "next")])
+    b.page("http://fast.test/p3.html", "F3", [], [])
+    b.asset("http://fast.test/robots.txt", b"User-agent: *\n",
+            "text/plain; charset=utf-8")
+    pages, meta = b.tables()
+    gen = tmp_path / "gen"
+    os.makedirs(gen)
+    pq.write_table(pages, str(gen / "pages.parquet"))
+    pq.write_table(meta, str(gen / "meta.parquet"))
+
+    cfg = CrawlConfig(
+        seeds=["http://slowbot.test/p0.html", "http://fast.test/p0.html"],
+        domains=["http://slowbot.test", "http://fast.test"],
+        delay_milli=100,
+        polite=True,
+        n_frontier_shards=1,
+        n_seen_shards=2,
+        n_page_parts=2,
+    )
+    job = CrawlJob(cfg, str(gen / "pages.parquet"), str(gen / "meta.parquet"),
+                   str(tmp_path / "run"))
+    job.run()
+    t = pq.read_table(str(tmp_path / "run" / "order"))
+    per_host = {}
+    for u, fa in sorted(zip(t["url"].to_pylist(), t["fetch_after"].to_pylist()),
+                        key=lambda x: x[1]):
+        per_host.setdefault(u.split("/")[2], []).append(fa)
+    slow = [b_ - a for a, b_ in zip(per_host["slowbot.test"], per_host["slowbot.test"][1:])]
+    fast = [b_ - a for a, b_ in zip(per_host["fast.test"], per_host["fast.test"][1:])]
+    assert all(d >= 2.0 - 1e-9 for d in slow), slow
+    assert all(d <= 0.1 + 1e-9 for d in fast), fast

@@ -443,10 +443,6 @@ class CrawlJob:
         self.stores = [Store.remote(part_dir, i) for i in range(cfg.n_page_parts)]
         Seen = ray.remote(SeenShard)
         self.seen = [Seen.remote(i) for i in range(cfg.n_seen_shards)]
-        Front = ray.remote(FrontierShard)
-        self.frontier = [
-            Front.remote(i, cfg.delay_milli / 1000.0) for i in range(cfg.n_frontier_shards)
-        ]
         # robots caches shard by hash(host) like the frontier — a
         # single cache actor would serialize every polite epoch at
         # cluster scale
@@ -455,6 +451,11 @@ class CrawlJob:
              for _ in range(max(2, cfg.n_frontier_shards // 2))]
             if cfg.polite else None
         )
+        Front = ray.remote(FrontierShard)
+        self.frontier = [
+            Front.remote(i, cfg.delay_milli / 1000.0, self.robots)
+            for i in range(cfg.n_frontier_shards)
+        ]
         self.metrics_actor = ray.remote(_Metrics).remote()
         self._attach_seq = ray.remote(_attach_seq_impl)
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects, cfg.record_headers)

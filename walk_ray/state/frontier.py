@@ -47,14 +47,40 @@ class FrontierShard:
     """One frontier shard (plain class; the driver wraps it in
     ``ray.remote``)."""
 
-    def __init__(self, shard_id: int = 0, delay_sec: float = 0.0):
+    def __init__(self, shard_id: int = 0, delay_sec: float = 0.0, robots_handles=None):
         self.shard_id = shard_id
         self.delay = float(delay_sec)
         self.queues: dict[str, deque] = {}      # host -> deque of entry tuples
         self.host_next: dict[str, float] = {}   # host -> next allowed virtual fetch time
         self.host_delay: dict[str, float] = {}  # host -> extra backoff delay (429/5xx)
+        # host -> robots Crawl-delay base (lazily resolved from the
+        # robots cache shards on first pop of the host; polite mode)
+        self.host_base: dict[str, float] = {}
+        self.robots = robots_handles or []
         self.buffer: list[tuple] = []           # un-sorted arrivals since last pop
         self.total = 0
+
+    def _resolve_robots_delays(self) -> None:
+        """Fill host_base for queued hosts not yet resolved (grouped
+        RPC per robots shard; the effective per-host pace is
+        max(configured delay, robots Crawl-delay))."""
+        if not self.robots:
+            return
+        missing = [h for h in self.queues if h not in self.host_base]
+        if not missing:
+            return
+        import ray
+
+        from .seen import shard_of, url_hash64_batch
+
+        shards = shard_of(url_hash64_batch(missing), len(self.robots))
+        futures = {}
+        for sh in set(shards.tolist()):
+            hs = [h for h, x in zip(missing, shards) if x == sh]
+            futures[sh] = (hs, self.robots[sh].crawl_delays.remote(hs))
+        for hs, fut in futures.values():
+            for h, d in zip(hs, ray.get(fut)):
+                self.host_base[h] = float(d) if d else 0.0
 
     # -- producers -----------------------------------------------------
 
@@ -83,6 +109,7 @@ class FrontierShard:
         ``fetch_after``. Hosts are visited in sorted order for
         determinism."""
         self._drain_buffer()
+        self._resolve_robots_delays()
         out = {c: [] for c in FRONTIER_COLS}
         out["fetch_after"] = []
         deadline = now + horizon
@@ -91,7 +118,7 @@ class FrontierShard:
         for host in sorted(self.queues):
             q = self.queues[host]
             t = max(self.host_next.get(host, 0.0), now)
-            step = self.delay + self.host_delay.get(host, 0.0)
+            step = max(self.delay, self.host_base.get(host, 0.0))                 + self.host_delay.get(host, 0.0)
             while q and t < deadline and popped < max_total:
                 e = q.popleft()
                 for c, v in zip(FRONTIER_COLS, e):
@@ -200,7 +227,8 @@ class FrontierShard:
         hpath = os.path.join(directory, f"frontier-{self.shard_id:05d}.hosts.json")
         tmp = hpath + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"host_next": self.host_next, "host_delay": self.host_delay}, f)
+            json.dump({"host_next": self.host_next, "host_delay": self.host_delay,
+                       "host_base": self.host_base}, f)
         os.replace(tmp, hpath)
         return path
 
@@ -219,6 +247,7 @@ class FrontierShard:
             if "host_next" in d:  # sidecar format v2
                 self.host_next = {h: float(v) for h, v in d["host_next"].items()}
                 self.host_delay = {h: float(v) for h, v in d.get("host_delay", {}).items()}
+                self.host_base = {h: float(v) for h, v in d.get("host_base", {}).items()}
             else:
                 self.host_next = {h: float(v) for h, v in d.items()}
         self.buffer = list(zip(*(t[c].to_pylist() for c in FRONTIER_COLS))) if t.num_rows else []

@@ -12,12 +12,20 @@ from __future__ import annotations
 
 from urllib.parse import urlsplit
 
-__all__ = ["RobotsCache", "parse_robots"]
+__all__ = ["RobotsCache", "parse_robots", "parse_robots_full"]
 
 
 def parse_robots(body: bytes) -> list[tuple[str, bool]]:
     """Rules for ``User-agent: *`` as ``(path_prefix, allowed)``."""
+    return parse_robots_full(body)[0]
+
+
+def parse_robots_full(body: bytes) -> tuple[list[tuple[str, bool]], float | None]:
+    """Rules + ``Crawl-delay`` (seconds) for the ``*`` group —
+    fetchbot honors robots Crawl-delay in the reference's polite mode
+    (lib/worker.go:81-83 delegates politeness wholesale)."""
     rules: list[tuple[str, bool]] = []
+    crawl_delay: float | None = None
     in_star = False
     in_agent_run = False  # inside a run of consecutive User-agent lines
     for raw in body.decode("utf-8", errors="replace").splitlines():
@@ -43,15 +51,23 @@ def parse_robots(body: bytes) -> list[tuple[str, bool]]:
                 rules.append((value, field == "allow"))
             elif field == "disallow":
                 pass  # empty Disallow = allow all (no rule)
+        elif field == "crawl-delay":
+            in_agent_run = False
+            if in_star:
+                try:
+                    crawl_delay = float(value)
+                except ValueError:
+                    pass
         else:
             in_agent_run = False  # any other directive ends the run
-    return rules
+    return rules, crawl_delay
 
 
 class RobotsCache:
     def __init__(self, store_handles: list | None = None):
         self.stores = store_handles or []
         self.rules: dict[str, list[tuple[str, bool]]] = {}
+        self.delays: dict[str, float | None] = {}
 
     def _load(self, hosts: list[str]) -> None:
         from ..sources.pages import partition_of, request_key  # noqa: F401
@@ -60,6 +76,7 @@ class RobotsCache:
         if not missing or not self.stores:
             for h in missing:
                 self.rules[h] = []
+                self.delays[h] = None
             return
         import ray
 
@@ -74,9 +91,15 @@ class RobotsCache:
             for i, (found, status, _r, body, _ts, _ct, _h) in zip(idxs, rows):
                 host = missing[i]
                 if found and status == 200:
-                    self.rules[host] = parse_robots(bytes(body))
+                    self.rules[host], self.delays[host] = parse_robots_full(bytes(body))
                 else:
                     self.rules[host] = []
+                    self.delays[host] = None
+
+    def crawl_delays(self, hosts: list[str]) -> list:
+        """Crawl-delay seconds per host (None = none declared)."""
+        self._load(sorted(set(hosts)))
+        return [self.delays.get(h) for h in hosts]
 
     def allowed(self, urls: list[str]) -> list[bool]:
         hosts = []

@@ -102,6 +102,34 @@ def cmd_resolve(args) -> int:
     return 0
 
 
+def cmd_get(args) -> int:
+    """Capture retrieval (walk Get(url, t), lib/walk.go:167-210):
+    meta JSON, optionally redirect-resolved, with --body printing the
+    stored content from the content-addressed bodies dir."""
+    ray = _ray_session()
+    from datetime import datetime
+
+    from .pipelines.query import get_capture
+
+    at = None
+    if args.at:
+        at = datetime.strptime(args.at, "%Y-%m-%dT%H:%M:%SZ")
+    r = get_capture(args.resources, args.url, at=at, resolve=args.resolve,
+                    bodies_dir=args.bodies or "")
+    if r is None:
+        print("not found", file=sys.stderr)
+        ray.shutdown()
+        return 1
+    body = r.pop("body", None)
+    r.pop("html", None)
+    if args.bodies and body is not None:
+        sys.stdout.buffer.write(bytes(body))
+    else:
+        print(json.dumps(r, default=str, indent=2))
+    ray.shutdown()
+    return 0
+
+
 def cmd_serve(args) -> int:
     """HTTP query API over one or more crawl workdirs
     (api/server.go:47-68; default port 2783 like walk)."""
@@ -189,6 +217,14 @@ def main(argv=None) -> int:
     s = sub.add_parser("timespan", help="min/max capture timestamps")
     s.add_argument("resources")
     s.set_defaults(fn=cmd_timespan)
+
+    s = sub.add_parser("get", help="capture meta/body at a time")
+    s.add_argument("resources")
+    s.add_argument("url")
+    s.add_argument("--at", default="")
+    s.add_argument("--resolve", action="store_true")
+    s.add_argument("--bodies", default="")
+    s.set_defaults(fn=cmd_get)
 
     s = sub.add_parser("serve", help="HTTP query API over crawl workdirs")
     s.add_argument("workdirs", nargs="+")

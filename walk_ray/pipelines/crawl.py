@@ -698,6 +698,7 @@ class CrawlJob:
                     "links_deduped_in_epoch": counters.get("links_candidates", 0),
                     "links_new": pushed,
                     "frontier_size": sum(sizes),
+                    "frontier_shard_sizes": list(sizes),
                     "seen_size": sum(seen_sizes),
                     "wall_sec": time.monotonic() - t_epoch,
                 }

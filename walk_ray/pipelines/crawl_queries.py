@@ -43,7 +43,7 @@ def docs_crawl(sf_dir: str) -> dict:
 
     from ..sources.testgen import GENERATOR_VERSION
 
-    _ENGINE_CACHE_VERSION = 3  # bump when crawl outputs change shape/semantics
+    _ENGINE_CACHE_VERSION = 4  # bump when crawl outputs change shape/semantics
     tag = hashlib.sha256(
         f"{os.path.abspath(sf_dir)}|g{GENERATOR_VERSION}|e{_ENGINE_CACHE_VERSION}".encode()
     ).hexdigest()[:12]

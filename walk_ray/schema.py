@@ -122,6 +122,9 @@ METRICS = pa.schema(
         ("links_deduped_in_epoch", pa.int64()),
         ("links_new", pa.int64()),
         ("frontier_size", pa.int64()),
+        # per-shard queue sizes at epoch end — skew visibility for the
+        # host-partitioned frontier (BASELINE.md metrics contract)
+        ("frontier_shard_sizes", pa.list_(pa.int64())),
         ("seen_size", pa.int64()),
         ("wall_sec", pa.float64()),
     ]

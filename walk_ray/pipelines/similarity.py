@@ -148,7 +148,7 @@ def build_ivf_index(sf_dir: str, index_dir: str, nlist: int = 16, sample: int = 
     import ray.data as rd
 
     stamp = os.path.join(index_dir, "DONE")
-    tag = f"{os.path.abspath(sf_dir)}|{nlist}|{sample}|{seed}|v1"
+    tag = f"{os.path.abspath(sf_dir)}|{nlist}|{sample}|{seed}|v2"
     if os.path.exists(stamp) and open(stamp).read() == tag:
         return index_dir
     import shutil
@@ -178,6 +178,10 @@ def build_ivf_index(sf_dir: str, index_dir: str, nlist: int = 16, sample: int = 
     (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
         .map_batches(Assign(), batch_format="pandas")
+        # align blocks with partition values before the partitioned
+        # write — otherwise every (block × cell) pair becomes its own
+        # tiny file and probe reads drown in per-file open overhead
+        .sort("cell")
         .write_parquet(os.path.join(index_dir, "cells"), partition_cols=["cell"])
     )
     with open(stamp, "w") as f:

@@ -145,62 +145,79 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
     (doc_id, band_hash, sig_bytes), never text.
     """
     rows_per_band = num_perm // bands
+    # LSH buckets hash into a bounded number of verify PARTITIONS: the
+    # groupby then has ≤ NPARTS groups instead of one per (band, hash)
+    # — most band hashes are singletons, and per-group map_groups
+    # overhead on ~1 row/group otherwise dominates the whole pipeline.
+    NPARTS = 64
     sigs = minhash_signatures(sf_dir, num_perm, ngram)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes, sig_bytes = [], [], [], []
+        doc_ids, band_ids, band_hashes, sig_bytes, buckets = [], [], [], [], []
         for doc, sig in zip(batch["doc_id"], batch["sig"]):
             s = np.asarray(sig, dtype=np.uint64)
             raw = s.tobytes()
             for b in range(bands):
                 chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                band_hashes.append(h)
+                buckets.append((int(h[:8], 16) * bands + b) % NPARTS)
                 band_ids.append(b)
                 doc_ids.append(doc)
                 sig_bytes.append(raw)
         return pd.DataFrame(
             {"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes,
-             "sig": sig_bytes}
+             "bucket": buckets, "sig": sig_bytes}
         )
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        """All pairs within one LSH bucket, est-Jaccard filtered using
-        the signatures carried on the rows (bucket-local state only).
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Verify every LSH bucket that hashed into this partition.
 
-        At-most-once emission without any pair-dedup shuffle: both
-        full signatures are in the bucket, so the bucket can see every
-        OTHER band the pair collides in and emits only when the
-        current band is the FIRST colliding one — output pairs are
-        globally unique by construction.
+        Buckets resolve via a vectorized boundary walk over rows
+        sorted by (band_id, band_hash); singleton buckets (the vast
+        majority) are skipped wholesale. Within a colliding bucket,
+        est-Jaccard filters pairs using the signatures carried on the
+        rows, and a pair is emitted only when the current band is the
+        FIRST band its signatures collide in — output pairs are
+        globally unique with no pair-dedup shuffle.
         """
         empty = pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")}
         )
-        band = int(g["band_id"].iloc[0])
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return empty
-        mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
+        codes, _ = pd.factorize(
+            g["band_id"].astype(str) + ":" + g["band_hash"], sort=False
+        )
+        bounds = np.flatnonzero(np.r_[True, np.diff(codes) != 0, True])
+        sizes = np.diff(bounds)
+        doc_arr = g["doc_id"].to_numpy()
+        sig_arr = g["sig"].to_numpy()
+        band_arr = g["band_id"].to_numpy()
         out = {"a": [], "b": [], "est_jaccard": []}
-        for i in range(len(ids)):
-            comp_eq = mat[i] == mat[i + 1 :]  # (n-i-1, num_perm)
-            eq = comp_eq.mean(axis=1)
-            hits = np.nonzero(eq >= threshold)[0]
-            for h in hits:
-                band_hits = comp_eq[h].reshape(bands, rows_per_band).all(axis=1)
-                if int(np.argmax(band_hits)) != band:  # not first collision
-                    continue
-                out["a"].append(int(ids[i]))
-                out["b"].append(int(ids[i + 1 + h]))
-                out["est_jaccard"].append(round(float(eq[h]), 6))
+        for gi in np.nonzero(sizes >= 2)[0]:
+            lo, hi = bounds[gi], bounds[gi + 1]
+            ids = doc_arr[lo:hi]
+            band = int(band_arr[lo])
+            mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_arr[lo:hi]])
+            for i in range(len(ids)):
+                comp_eq = mat[i] == mat[i + 1 :]  # (n-i-1, num_perm)
+                eq = comp_eq.mean(axis=1)
+                hits = np.nonzero(eq >= threshold)[0]
+                for h in hits:
+                    band_hits = comp_eq[h].reshape(bands, rows_per_band).all(axis=1)
+                    if int(np.argmax(band_hits)) != band:  # not first collision
+                        continue
+                    out["a"].append(int(ids[i]))
+                    out["b"].append(int(ids[i + 1 + h]))
+                    out["est_jaccard"].append(round(float(eq[h]), 6))
         return pd.DataFrame(out) if out["a"] else empty
 
     return (
         sigs.map_batches(band_rows, batch_format="pandas")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_verify, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify_partition, batch_format="pandas")
     )
 
 
@@ -289,53 +306,64 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
 
     sigs = _docs(sf_dir).map_batches(SimHasher(), batch_format="pandas")
 
+    NPARTS = 64  # verify partitions (bounded group count, see minhash)
+
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band_id": [], "band_val": [], "simhash": []}
+        rows = {"doc_id": [], "band_id": [], "band_val": [], "bucket": [], "simhash": []}
         for doc, h in zip(batch["doc_id"], batch["simhash"]):
             h = int(h)
             for b in range(4):
+                v = (h >> (16 * b)) & 0xFFFF
                 rows["doc_id"].append(doc)
                 rows["band_id"].append(b)
-                rows["band_val"].append((h >> (16 * b)) & 0xFFFF)
+                rows["band_val"].append(v)
+                rows["bucket"].append((v * 4 + b) % NPARTS)
                 rows["simhash"].append(h)
         out = pd.DataFrame({"doc_id": rows["doc_id"], "band_id": rows["band_id"],
-                            "band_val": rows["band_val"]})
+                            "band_val": rows["band_val"], "bucket": rows["bucket"]})
         out["simhash"] = pd.Series(rows["simhash"], dtype="uint64").values
         return out
 
-    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
-        """Hamming-verify within one 16-bit-band bucket; a pair is
-        emitted only in the FIRST band whose chunks are equal (both
-        hashes are on the rows), so pairs are globally unique with no
-        pair-dedup shuffle."""
+    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+        """Hamming-verify every (band, value) bucket hashed into this
+        partition (vectorized boundary walk; singleton buckets skip).
+        A pair is emitted only in the FIRST band whose chunks are
+        equal, so pairs are globally unique with no dedup shuffle."""
         empty = pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
              "hamming": pd.Series([], dtype="int64")}
         )
-        band = int(g["band_id"].iloc[0])
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return empty
-        hs = g["simhash"].to_numpy(dtype=np.uint64)
+        g = g.sort_values(["band_id", "band_val", "doc_id"], kind="mergesort")
+        g = g.drop_duplicates(["band_id", "band_val", "doc_id"])
+        codes = g["band_id"].to_numpy() * (1 << 16) + g["band_val"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, np.diff(codes) != 0, True])
+        sizes = np.diff(bounds)
+        doc_arr = g["doc_id"].to_numpy()
+        hs_arr = g["simhash"].to_numpy(dtype=np.uint64)
+        band_arr = g["band_id"].to_numpy()
         out = {"a": [], "b": [], "hamming": []}
-        for i in range(len(ids)):
-            x = hs[i] ^ hs[i + 1 :]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            for h in np.nonzero(d <= max_hamming)[0]:
-                xv = int(x[h])
-                first = next(b for b in range(4) if (xv >> (16 * b)) & 0xFFFF == 0)
-                if first != band:
-                    continue
-                out["a"].append(int(ids[i]))
-                out["b"].append(int(ids[i + 1 + h]))
-                out["hamming"].append(int(d[h]))
+        for gi in np.nonzero(sizes >= 2)[0]:
+            lo, hi = bounds[gi], bounds[gi + 1]
+            ids = doc_arr[lo:hi]
+            band = int(band_arr[lo])
+            hs = hs_arr[lo:hi]
+            for i in range(len(ids)):
+                x = hs[i] ^ hs[i + 1 :]
+                d = np.array([bin(int(v)).count("1") for v in x])
+                for h in np.nonzero(d <= max_hamming)[0]:
+                    xv = int(x[h])
+                    first = next(b for b in range(4) if (xv >> (16 * b)) & 0xFFFF == 0)
+                    if first != band:
+                        continue
+                    out["a"].append(int(ids[i]))
+                    out["b"].append(int(ids[i + 1 + h]))
+                    out["hamming"].append(int(d[h]))
         return pd.DataFrame(out) if out["a"] else empty
 
     pairs = (
         sigs.map_batches(band_rows, batch_format="pandas")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_verify, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(verify_partition, batch_format="pandas")
     )
     # final ordering at result scale only
     df = pairs.to_pandas().sort_values(["a", "b"])

@@ -140,3 +140,45 @@ def test_redirect_cap_error_names_target_url(tmp_path):
     # Go's url.Error wraps the ATTEMPTED request URL: the 11th request
     # in the long chain is /long/10
     assert 'Get "http://redir.test/long/10": stopped after 10 redirects' in errs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_host_salting_spreads_single_host(tmp_path):
+    """With per-host pacing inert (delay 0, no politeness/backoff) a
+    single mega-host spreads across ALL frontier shards instead of
+    pinning one; crawl results stay identical to host-sharding."""
+    from walk_ray.sources.testgen import SiteBuilder
+
+    b = SiteBuilder()
+    n = 64
+    for i in range(n):
+        links = [(f"/p{c}.html", f"c{c}") for c in (2 * i + 1, 2 * i + 2) if c < n]
+        b.page(f"http://mega.test/p{i}.html", f"P{i}", [], links)
+    pages, meta = b.tables()
+    gen = tmp_path / "gen"
+    os.makedirs(gen)
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(pages, str(gen / "pages.parquet"))
+    pq_.write_table(meta, str(gen / "meta.parquet"))
+
+    cfg = CrawlConfig(
+        seeds=["http://mega.test/p0.html"], domains=["http://mega.test"],
+        n_frontier_shards=4, n_seen_shards=2, n_page_parts=2,
+    )
+    assert cfg._salt_hosts
+    job = CrawlJob(cfg, str(gen / "pages.parquet"), str(gen / "meta.parquet"),
+                   str(tmp_path / "run"))
+    res = job.run()
+    assert res["done_total"] == n
+    mt = pq.read_table(str(tmp_path / "run" / "metrics.parquet")).to_pandas()
+    # mid-crawl the single host's queue lives on SEVERAL shards
+    spread = max(sum(1 for v in sizes if v > 0)
+                 for sizes in mt["frontier_shard_sizes"])
+    assert spread >= 2, mt["frontier_shard_sizes"].tolist()
+
+    # paced config keeps host-ownership sharding (politeness needs it)
+    cfg2 = CrawlConfig(seeds=[], delay_milli=100)
+    assert not cfg2._salt_hosts
+    cfg3 = CrawlConfig(seeds=[], polite=True)
+    assert not cfg3._salt_hosts

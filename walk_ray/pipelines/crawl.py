@@ -120,6 +120,15 @@ class CrawlConfig:
     # scale, set False → distributed sorted parquet sitemap instead.
     sitemap_json: bool = True
 
+    @property
+    def _salt_hosts(self) -> bool:
+        """Hot-host splitting is safe exactly when per-host pacing is
+        inert: no configured delay, no robots politeness, no backoff.
+        Then frontier shard ownership is just load balancing and a
+        mega-host spreads across every shard."""
+        return (self.delay_milli == 0 and not self.polite
+                and not self.enable_backoff)
+
     @classmethod
     def from_job_json(cls, job: dict, **overrides) -> "CrawlConfig":
         cfg = cls(
@@ -335,12 +344,18 @@ class CommitStage:
         return pa.table({"rows": pa.array([n], pa.int64())})
 
     def _push_frontier(self, rows: dict) -> None:
-        _push_rows_to_frontier(self.frontier, rows)
+        _push_rows_to_frontier(self.frontier, rows, self.cfg._salt_hosts)
 
 
-def _push_rows_to_frontier(frontier_handles, rows: dict) -> None:
-    hosts = rows["host"]
-    shard_ids = shard_of(url_hash64_batch(hosts), len(frontier_handles))
+def _push_rows_to_frontier(frontier_handles, rows: dict, by_url: bool = False) -> None:
+    """Route frontier entries to shards. Default: by hash(host) so one
+    shard owns each host's politeness clock. ``by_url`` salts a host
+    across ALL shards (hot-host splitting) — only valid when per-host
+    pacing is inert (delay 0, no politeness, no backoff), where the
+    crawl order comes from the global linearization sort and shard
+    ownership carries no semantics."""
+    keys = rows["url"] if by_url else rows["host"]
+    shard_ids = shard_of(url_hash64_batch(keys), len(frontier_handles))
     waits = []
     for s in set(shard_ids.tolist()):
         idxs = [i for i, x in enumerate(shard_ids) if x == s]
@@ -509,7 +524,7 @@ class CrawlJob:
             "link_idx": keep,
         }
         if keep:
-            _push_rows_to_frontier(self.frontier, rows)
+            _push_rows_to_frontier(self.frontier, rows, cfg._salt_hosts)
 
     def _pop_budgets(self, max_pop: int) -> list[int]:
         return _proportional_budgets(self._shard_sizes, max_pop, len(self.frontier))
@@ -661,7 +676,7 @@ class CrawlJob:
                         "parent_seq": [d // _DISC_SHIFT for d in d_discs],
                         "link_idx": [d % _DISC_SHIFT for d in d_discs],
                     }
-                    _push_rows_to_frontier(self.frontier, rows)
+                    _push_rows_to_frontier(self.frontier, rows, cfg._salt_hosts)
                     pushed += len(d_urls)
             _mark("drain_push")
 

@@ -91,3 +91,65 @@ def test_idempotent():
         if expect == "http://a.com:80/x":
             continue
         assert normalize_url(expect) == expect, raw
+
+
+def test_canonical_fast_path_is_fixed_point():
+    """Any URL the fast-path detector accepts must be a fixed point of
+    the full (slow) normalization — property-checked over generated
+    canonical-looking URLs and the golden table inputs."""
+    import random
+    import string
+
+    import walk_ray.functions.canon as c
+
+    def rand_host(rng):
+        return ".".join(
+            ("".join(rng.choices(string.ascii_lowercase + "0123456789-", k=rng.randint(1, 8)))
+             .strip("-") or "a")
+            for _ in range(rng.randint(2, 4))
+        )
+
+    def rand_seg(rng):
+        base = "".join(rng.choices(string.ascii_letters + string.digits + "_~-",
+                                   k=rng.randint(1, 8)))
+        if rng.random() < 0.5:
+            base += "." + "".join(rng.choices(string.ascii_letters + string.digits,
+                                              k=rng.randint(1, 5)))
+        return base
+
+    rng = random.Random(7)
+    orig = c._is_canonical
+    try:
+        for _ in range(5000):
+            u = "http://" + rand_host(rng) + "".join(
+                "/" + rand_seg(rng) for _ in range(rng.randint(0, 4))
+            )
+            if not orig(u):
+                continue
+            c._is_canonical = lambda s: False  # force the slow path
+            c.normalize_url.cache_clear()
+            assert c.normalize_url(u) == u, u
+            c._is_canonical = orig
+    finally:
+        c._is_canonical = orig
+        c.normalize_url.cache_clear()
+
+
+def test_canonical_fast_path_rejects_non_fixed_points():
+    from walk_ray.functions.canon import _is_canonical
+
+    for u in [
+        "https://a.com",          # force-http applies
+        "http://www.a.com",       # www strip
+        "http://a.com/",          # trailing slash
+        "http://a.com//x",        # dup slashes
+        "http://a.com/./x",       # dot segment
+        "http://a.com/index.html",  # directory index
+        "http://a.com:80/x",      # default port
+        "http://A.com/x",         # case
+        "http://a.com/x?b=1",     # query
+        "http://a.com/x#f",       # fragment
+        "http://a.com/%41",       # escapes
+        "http://u@a.com/x",       # userinfo
+    ]:
+        assert not _is_canonical(u), u

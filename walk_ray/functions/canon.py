@@ -114,6 +114,24 @@ def _sort_query(query: str) -> str:
     return "&".join(out)
 
 
+# Conservative already-canonical detector: any match is provably a
+# fixed point of the full normalization (http scheme, bare lowercase
+# dotted host without www./port/userinfo, dot-separated safe path
+# segments — never "."/"..", no trailing slash, no query/fragment/%),
+# pinned by a hypothesis property test against the slow path.
+_RX_CANONICAL = re.compile(
+    r"^http://(?!www\.)[a-z0-9-]+(?:\.[a-z0-9-]+)+"
+    r"(?:/[A-Za-z0-9_~-]+(?:\.[A-Za-z0-9_~-]+)*)*$"
+)
+_RX_DIR_INDEX_END = re.compile(r"/(?:default|index)\.\w{1,4}$")
+
+
+def _is_canonical(urlstr: str) -> bool:
+    return bool(
+        _RX_CANONICAL.match(urlstr) and not _RX_DIR_INDEX_END.search(urlstr)
+    )
+
+
 @lru_cache(maxsize=1 << 18)
 def normalize_url(urlstr: str) -> str:
     """Canonicalize one URL under the purell FlagsUnsafeGreedy rules.
@@ -122,8 +140,11 @@ def normalize_url(urlstr: str) -> str:
     reference's behavior of skipping unparseable links).
 
     Memoized (pure function; link targets repeat heavily within a
-    crawl, so the cache turns the hot path into a dict hit).
+    crawl, so the cache turns the hot path into a dict hit); inputs
+    the detector can prove canonical skip the parse entirely.
     """
+    if _is_canonical(urlstr):
+        return urlstr
     try:
         parts = urlsplit(urlstr)
     except ValueError:
@@ -193,6 +214,8 @@ def resolve_and_normalize(base_url: str, href: str) -> str | None:
     """
     from urllib.parse import urljoin
 
+    if _is_canonical(href):  # absolute + already canonical: no work
+        return href
     try:
         absolute = urljoin(base_url, href)
     except ValueError:

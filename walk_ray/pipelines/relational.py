@@ -161,42 +161,72 @@ def events_tumbling_window(sf_dir: str, window_sec: int = 3600):
     return out.map_batches(finish, batch_format="pandas")
 
 
+def _bucket_col(vals, n_buckets: int = 64) -> np.ndarray:
+    """Stable key → verify-partition bucket (bounded group count; the
+    per-key work is vectorized WITHIN each bucket, so group overhead
+    never scales with key cardinality)."""
+    return (np.asarray(vals, dtype=np.int64) % n_buckets).astype(np.int64)
+
+
 def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     """Session windows per user: a new session starts when the gap
-    from the previous event exceeds ``gap_sec``. Partitioned by
-    user_id (groupby shuffle), sessions computed per sorted group —
-    the documented ordering assumption for stream-shaped inputs."""
+    from the previous event exceeds ``gap_sec``. Users co-partition
+    into a bounded number of hash buckets; sessions for EVERY user in
+    a bucket compute in one vectorized pass (sort + boundary cumsum),
+    so group count — and per-group overhead — is independent of user
+    cardinality."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64") // 1_000_000
-        new_session = (ts.diff().fillna(gap_sec + 1) > gap_sec).astype(int)
-        sid = new_session.cumsum()
-        agg = g.assign(session=sid.values, ts_sec=ts.values).groupby("session")
-        out = pd.DataFrame(
-            {
-                "user_id": g["user_id"].iloc[0],
-                "session_start": agg["ts_sec"].min(),
-                "n_events": agg.size(),
-                "sum_value": agg["value"].sum().round(4),
-            }
-        )
-        return out.reset_index(drop=True)
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = _bucket_col(batch["user_id"])
+        return batch
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = (g["ts"].astype("int64") // 1_000_000).to_numpy()
+        users = g["user_id"].to_numpy()
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        gap = np.r_[gap_sec + 1, ts[1:] - ts[:-1]]
+        sid = np.cumsum(new_user | (gap > gap_sec))  # global session ids
+        agg = (
+            pd.DataFrame({"user_id": users, "ts_sec": ts, "value": g["value"].to_numpy(),
+                          "session": sid})
+            .groupby("session", as_index=False)
+            .agg(user_id=("user_id", "first"), session_start=("ts_sec", "min"),
+                 n_events=("ts_sec", "size"), sum_value=("value", "sum"))
+        )
+        agg["sum_value"] = agg["sum_value"].round(4)
+        return agg[["user_id", "session_start", "n_events", "sum_value"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(sessions, batch_format="pandas")
+    )
 
 
 def latest_event_per_user(sf_dir: str):
     """As-of-style lookup (J3 analog on the events log): each user's
-    latest event (max ts; ties broken by max event_id)."""
+    latest event (max ts; ties broken by max event_id). Bucketed like
+    sessionize — one vectorized drop_duplicates per bucket."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return g.tail(1)[["user_id", "event_id", "event_type", "value"]]
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["__bucket"] = _bucket_col(batch["user_id"])
+        return batch
 
-    return ds.groupby("user_id").map_groups(latest, batch_format="pandas")
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="last")
+        return g[["user_id", "event_id", "event_type", "value"]]
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(latest, batch_format="pandas")
+    )
 
 
 def top_parts_by_revenue(sf_dir: str, k: int = 20):

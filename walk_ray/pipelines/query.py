@@ -111,26 +111,36 @@ def inbound_links(sitemap_or_resources, target_url: str):
 
 
 def link_graph(resources_dir: str):
-    """Inverted link graph: (dst, list<src>) via flat_map + groupby."""
+    """Inverted link graph: (dst, list<src>, n_inbound) via flat_map +
+    a BUCKETED groupby — targets co-partition into 64 hash buckets and
+    every dst in a bucket collects in one vectorized pandas pass, so
+    group overhead is independent of URL cardinality."""
+    import hashlib as _hl
+
     ds = _read_resources(resources_dir, columns=["url", "links"])
 
     def edges(batch: pa.Table) -> pa.Table:
-        srcs, dsts = [], []
+        srcs, dsts, buckets = [], [], []
         for u, links in zip(batch["url"].to_pylist(), batch["links"].to_pylist()):
             for l in links or []:
                 srcs.append(u)
                 dsts.append(l)
-        return pa.table({"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())})
+                buckets.append(
+                    int.from_bytes(_hl.blake2b(l.encode(), digest_size=4).digest(), "big") % 64
+                )
+        return pa.table({"src": pa.array(srcs, pa.string()),
+                         "dst": pa.array(dsts, pa.string()),
+                         "bucket": pa.array(buckets, pa.int64())})
 
     def collect(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"dst": [g["dst"].iloc[0]], "srcs": [sorted(g["src"].unique().tolist())],
-             "n_inbound": [g["src"].nunique()]}
-        )
+        g = g.drop_duplicates(["dst", "src"]).sort_values(["dst", "src"], kind="mergesort")
+        agg = g.groupby("dst", as_index=False).agg(srcs=("src", list),
+                                                   n_inbound=("src", "size"))
+        return agg[["dst", "srcs", "n_inbound"]]
 
     return (
         ds.map_batches(edges, batch_format="pyarrow")
-        .groupby("dst")
+        .groupby("bucket")
         .map_groups(collect, batch_format="pandas")
     )
 
@@ -182,11 +192,26 @@ def latest_capture(resources_dirs, at=None):
 
         ds = ds.map_batches(cut, batch_format="pyarrow")
 
-    def argmax_ts(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["timestamp", "epoch", "seq"])
-        return g.tail(1)
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib as _hl
 
-    return ds.groupby("url").map_groups(argmax_ts, batch_format="pandas")
+        batch = batch.copy()
+        batch["__bucket"] = [
+            int.from_bytes(_hl.blake2b(u.encode(), digest_size=4).digest(), "big") % 64
+            for u in batch["url"]
+        ]
+        return batch
+
+    def argmax_ts(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass per bucket: latest row of every url run
+        g = g.sort_values(["url", "timestamp", "epoch", "seq"], kind="mergesort")
+        return g.drop_duplicates("url", keep="last").drop(columns="__bucket")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__bucket")
+        .map_groups(argmax_ts, batch_format="pandas")
+    )
 
 
 def resolve_redirects(resources_dir: str, url: str, max_hops: int = 20) -> str:

@@ -59,3 +59,17 @@ def test_cli_clean(tmp_path, capsys):
     assert main(["clean", str(src), str(out), "http://a.com/drop"]) == 0
     cleaned = json.loads(out.read_text())
     assert list(cleaned) == ["http://a.com"]
+
+
+def test_cli_job_new(capsys):
+    import json
+
+    from walk_ray.cli import main
+
+    assert main(["job", "new"]) == 0
+    cfg = json.loads(capsys.readouterr().out)
+    # the printed job is directly consumable by `start --job`
+    from walk_ray.pipelines.crawl import CrawlConfig
+
+    c = CrawlConfig.from_job_json(cfg)
+    assert c.max_attempts == 3 and c.crawl is True and c.seeds == []

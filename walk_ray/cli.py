@@ -157,6 +157,22 @@ def cmd_jobs(args) -> int:
     return 0
 
 
+def cmd_job_new(args) -> int:
+    """`job new` (cmd/job.go:17-28): print a blank job config with
+    starting defaults, in the shape `start --job` consumes."""
+    from dataclasses import asdict
+
+    from .pipelines.crawl import CrawlConfig
+
+    cfg = asdict(CrawlConfig())
+    job_keys = ["seeds", "seeds_path", "domains", "ignore_patterns", "crawl",
+                "delay_milli", "max_attempts", "stop_url", "stop_after_entries",
+                "backoff_response_codes", "record_headers", "polite",
+                "record_redirects"]
+    print(json.dumps({k: cfg[k] for k in job_keys}, indent=2))
+    return 0
+
+
 def cmd_config(args) -> int:
     # cmd/config.go analog: show a crawl's persisted job config
     import os
@@ -234,6 +250,11 @@ def main(argv=None) -> int:
     s = sub.add_parser("jobs", help="list job configs of crawl workdirs")
     s.add_argument("workdirs", nargs="+")
     s.set_defaults(fn=cmd_jobs)
+
+    s = sub.add_parser("job", help="work with job files")
+    jsub = s.add_subparsers(dest="jobcmd", required=True)
+    jn = jsub.add_parser("new", help="print a blank job config")
+    jn.set_defaults(fn=cmd_job_new)
 
     s = sub.add_parser("config", help="show a crawl's job config")
     s.add_argument("workdir")

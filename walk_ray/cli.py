@@ -71,7 +71,8 @@ def cmd_inbound_links(args) -> int:
     ray = _ray_session()
     from .pipelines.query import inbound_links
 
-    urls = sorted(inbound_links(args.resources, args.target).to_pandas()["url"])
+    df = inbound_links(args.resources, args.target).to_pandas()
+    urls = sorted(df["url"]) if "url" in df.columns else []
     print(json.dumps({"target": args.target, "found": len(urls), "sources": urls}, indent=2))
     ray.shutdown()
     return 0

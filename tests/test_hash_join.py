@@ -65,3 +65,29 @@ def test_asof_join_matches_pandas_merge_asof():
     assert len(got) == len(want)
     for c in ["k", "t", "rv"]:
         assert (got[c].astype("int64").values == want[c].astype("int64").values).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_native_join_engine_matches_bucketed():
+    """Ray's native Dataset.join (opt-in engine) agrees with the
+    portable bucketed construction."""
+    import ray.data as rd
+
+    from walk_ray.pipelines.relational import hash_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": [10, 20, 30, 40, 50]})
+    right = pd.DataFrame({"rk": [2, 2, 3, 4], "rv": [100, 200, 300, 400]})
+
+    def run(engine):
+        return (
+            hash_join(rd.from_pandas(left), rd.from_pandas(right), "k", "rk",
+                      n_buckets=2, engine=engine)
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+
+    b = run("bucketed")
+    n = run("native")
+    for c in ["k", "lv", "rk", "rv"]:
+        assert (b[c].astype("int64").values == n[c].astype("int64").values).all(), c

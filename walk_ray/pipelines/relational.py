@@ -304,19 +304,50 @@ def orders_by_nation_shuffle(sf_dir: str):
 
 
 def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 64,
-              how: str = "inner"):
-    """Distributed partitioned hash join (Ray Data has no native join):
+              how: str = "inner", engine: str = "bucketed"):
+    """Distributed partitioned hash join.
+
+    ``engine="native"`` delegates to ``Dataset.join`` (Ray ≥2.46's
+    hash-shuffle join) with ``n_buckets`` partitions — NOTE its
+    aggregator actor pool needs CPU headroom and can stall a
+    fully-subscribed small cluster, so it is opt-in.
+    ``engine="bucketed"`` (default) is this engine's own portable
+    construction —
     both sides bucket by ``hash(key) % n_buckets``, union, and each
     bucket merges locally with a vectorized pandas merge inside
-    ``map_groups``. Buckets (not keys) are the groups, so the group
-    count stays bounded regardless of key cardinality — the shape for
-    joining two LARGE tables where neither side can broadcast.
+    ``map_groups`` — kept as the fallback for Ray builds without the
+    native operator and as the substrate :func:`asof_join` (which has
+    no native equivalent) builds on. Buckets (not keys) are the
+    groups, so group count stays bounded regardless of key cardinality
+    — the shape for joining two LARGE tables where neither side can
+    broadcast.
 
-    Schemas are aligned for the union by adding the other side's
-    columns as nulls; ``__side`` tags rows. Key columns may differ in
-    name (``left_on``/``right_on``).
+    Schemas are aligned for the bucketed union by adding the other
+    side's columns as nulls; ``__side`` tags rows. Key columns may
+    differ in name (``left_on``/``right_on``).
     """
     import hashlib as _hl
+
+    if engine == "native" and hasattr(type(left), "join"):
+        j = left.join(
+            right,
+            "inner" if how == "inner" else f"{how}_outer",
+            num_partitions=n_buckets,
+            on=(left_on,),
+            right_on=(right_on,),
+            aggregator_ray_remote_args={"num_cpus": 0.5},
+        )
+        if right_on != left_on:
+            # the native join drops the right key column; restore it
+            # (equal to the left key on inner matches) for schema
+            # parity with the bucketed path / pandas merge
+            def restore_key(batch: pd.DataFrame) -> pd.DataFrame:
+                if right_on not in batch.columns:
+                    batch[right_on] = batch[left_on]
+                return batch
+
+            j = j.map_batches(restore_key, batch_format="pandas")
+        return j
 
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]

@@ -75,18 +75,22 @@ def test_cli_job_new(capsys):
     assert c.max_attempts == 3 and c.crawl is True and c.seeds == []
 
 
-def test_cli_inbound_links_empty_result(tmp_path, capsys):
+def test_cli_inbound_links_empty_result(tmp_path, capsys, monkeypatch):
     """No sources link to the target -> clean empty listing, not a
     KeyError (empty datasets lose their column schema in to_pandas)."""
     import json
 
     import pyarrow as pa
     import pyarrow.parquet as pq
+    import ray
 
     t = pa.table({"url": ["http://a.com/x"], "links": [["http://a.com/y"]]})
     pq.write_table(t, str(tmp_path / "part-0.parquet"))
     from walk_ray.cli import main
 
+    # the CLI owns its Ray session and shuts it down on exit; keep the
+    # test session alive
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
     assert main(["inbound-links", str(tmp_path), "http://nobody.links/here"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["found"] == 0 and out["sources"] == []

@@ -95,7 +95,7 @@ def orders_by_nation(sf_dir: str):
     nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
     ref = ray.put((cust_map, nation_map))
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     class AddNation:
         """Broadcast-join + per-batch PARTIAL aggregation: the groupby

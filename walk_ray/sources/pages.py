@@ -126,31 +126,64 @@ def prepare_page_partitions(pages_path: str, meta_path: str, out_dir: str, n_par
     return out_dir
 
 
+_STORE_COLS = ["status", "redirect_to", "html", "ts_us", "content_type", "headers"]
+
+
 class PageStore:
     """Actor holding one hash partition of the pages table, keyed by
-    request key. Load happens once in ``__init__`` (actor-pool rule)."""
+    request key. Load happens once in ``__init__`` (actor-pool rule).
+
+    Scale shape of the fetch path: the partition's page data lives in
+    the OBJECT STORE as one Arrow table (``table_handle``); lookups
+    return only row indices (a few bytes each), and fetch tasks read
+    the shared table zero-copy from plasma and ``take`` just their
+    rows. Bodies therefore never pass through the actor's RPC
+    serializer — at 4 stores × 640k pages that RPC path serialized
+    ~525 MB per store per peak epoch."""
 
     def __init__(self, partition_dir: str, part_id: int):
         self.part_id = part_id
-        self.pages: dict[str, tuple[int, str, bytes, int, str, list]] = {}
         pattern = os.path.join(partition_dir, f"part={part_id}", "*.parquet")
+        tables = []
         for path in sorted(glob.glob(pattern)):
             t = pq.read_table(
                 path,
                 columns=["req_key", "status", "redirect_to", "html", "warc_ts",
                          "content_type", "headers"],
             )
-            ts = t["warc_ts"].cast(pa.int64()).to_pylist()
-            for k, s, r, h, tsu, c, hd in zip(
-                t["req_key"].to_pylist(),
-                t["status"].to_pylist(),
-                t["redirect_to"].to_pylist(),
-                t["html"].to_pylist(),
-                ts,
-                t["content_type"].to_pylist(),
-                t["headers"].to_pylist(),
-            ):
-                self.pages[k] = (int(s), r or "", h or b"", tsu or 0, c or "", hd or [])
+            tables.append(t)
+        if tables:
+            t = pa.concat_tables(tables).combine_chunks()
+        else:
+            t = pa.table(
+                {"req_key": pa.array([], pa.string()),
+                 "status": pa.array([], pa.int32()),
+                 "redirect_to": pa.array([], pa.string()),
+                 "html": pa.array([], pa.large_binary()),
+                 "warc_ts": pa.array([], pa.timestamp("us")),
+                 "content_type": pa.array([], pa.string()),
+                 "headers": pa.array([], pa.list_(pa.string()))}
+            )
+        t = t.append_column("ts_us", t["warc_ts"].cast(pa.int64()))
+        self.index: dict[str, int] = {
+            k: i for i, k in enumerate(t["req_key"].to_pylist())
+        }
+        self.table = t.select(_STORE_COLS)
+        self._ref = None  # plasma handle, created lazily (needs Ray)
+
+    def table_handle(self):
+        """ObjectRef to this partition's page table (put once)."""
+        if self._ref is None:
+            import ray
+
+            self._ref = ray.put(self.table)
+        return self._ref
+
+    def lookup_idx(self, keys: list[str]) -> list[int]:
+        """Row indices into the shared table; -1 = miss. The narrow
+        RPC of the fetch path — bodies ride the object store."""
+        idx = self.index
+        return [idx.get(k, -1) for k in keys]
 
     # Go's FileServer 404 response headers (miss path)
     _MISS = (False, 404, "", b"", 0, "text/plain; charset=utf-8",
@@ -158,16 +191,25 @@ class PageStore:
 
     def lookup(self, keys: list[str]):
         """Batch point lookup;
-        (found, status, redirect_to, html, ts_us, content_type, headers)."""
-        pages = self.pages
+        (found, status, redirect_to, html, ts_us, content_type, headers).
+        Serves small-volume callers (robots.txt); the crawl fetch path
+        uses ``lookup_idx`` + ``table_handle`` instead."""
         out = []
-        for k in keys:
-            row = pages.get(k)
-            if row is None:
+        rows = self.lookup_idx(keys)
+        cols = {c: self.table[c] for c in _STORE_COLS}
+        for i in rows:
+            if i < 0:
                 out.append(self._MISS)
             else:
-                out.append((True, row[0], row[1], row[2], row[3], row[4], row[5]))
+                out.append(
+                    (True, cols["status"][i].as_py(),
+                     cols["redirect_to"][i].as_py() or "",
+                     cols["html"][i].as_py() or b"",
+                     cols["ts_us"][i].as_py() or 0,
+                     cols["content_type"][i].as_py() or "",
+                     cols["headers"][i].as_py() or [])
+                )
         return out
 
     def size(self) -> int:
-        return len(self.pages)
+        return len(self.index)

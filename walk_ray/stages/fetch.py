@@ -73,9 +73,30 @@ class FetchStage:
         # on terminal responses only (hop resources are synthesized
         # without headers, lib/worker.go:215-224)
         self.record_headers = record_headers
+        self._tables: dict[int, pa.Table] = {}  # per-task plasma-backed cache
+
+    # Go's FileServer 404 miss row (see PageStore._MISS)
+    _MISS = (False, 404, "", b"", 0, "text/plain; charset=utf-8",
+             ["Content-Type", "text/plain; charset=utf-8"])
+
+    def _part_table(self, p: int):
+        """Zero-copy plasma read of partition ``p``'s page table,
+        cached for this task/worker. The handle RPC is tiny; the table
+        buffers mmap from the local object store."""
+        import ray
+
+        t = self._tables.get(p)
+        if t is None:
+            t = ray.get(ray.get(self.stores[p].table_handle.remote()))
+            self._tables[p] = t
+        return t
 
     def _lookup(self, urls: list[str]):
-        """Grouped batch lookup across page partitions."""
+        """Grouped batch lookup across page partitions: the actor RPC
+        carries only request keys out and ROW INDICES back; page rows
+        (bodies included) come from the shared object-store table via
+        ``take`` — the fetch path's data never crosses an actor
+        serializer."""
         import ray
 
         keys = [request_key(u) for u in urls]
@@ -85,12 +106,30 @@ class FetchStage:
             by_part.setdefault(int(p), []).append(i)
         results: list = [None] * len(urls)
         futures = {
-            p: self.stores[p].lookup.remote([keys[i] for i in idxs]) for p, idxs in by_part.items()
+            p: self.stores[p].lookup_idx.remote([keys[i] for i in idxs])
+            for p, idxs in by_part.items()
         }
         for p, idxs in by_part.items():
             rows = ray.get(futures[p])
-            for i, row in zip(idxs, rows):
-                results[i] = row
+            tbl = self._part_table(p)
+            hit_pos = [j for j, r in enumerate(rows) if r >= 0]
+            if hit_pos:
+                sub = tbl.take(pa.array([rows[j] for j in hit_pos], pa.int64()))
+                statuses = sub["status"].to_pylist()
+                redirects = sub["redirect_to"].to_pylist()
+                htmls = sub["html"].to_pylist()
+                tss = sub["ts_us"].to_pylist()
+                ctypes = sub["content_type"].to_pylist()
+                headers = sub["headers"].to_pylist()
+            k = 0
+            for j, r in zip(idxs, rows):
+                if r < 0:
+                    results[j] = self._MISS
+                else:
+                    results[j] = (True, statuses[k], redirects[k] or "",
+                                  htmls[k] or b"", tss[k] or 0, ctypes[k] or "",
+                                  headers[k] or [])
+                    k += 1
         return results
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -60,8 +60,11 @@ def _warm_up() -> None:
     gen = generate_pages("bench", "/tmp/walk_ray_bench/gen_warm", hosts=8,
                          pages_per_host=40, seed=7)
     cfg = CrawlConfig.from_job_json(gen["job"])
-    CrawlJob(cfg, gen["pages"], gen["pages_meta"],
-             f"/tmp/walk_ray_bench/warm_{NUM_CPUS}_{time.monotonic_ns()}").run()
+    warm_dir = f"/tmp/walk_ray_bench/warm_{NUM_CPUS}_{time.monotonic_ns()}"
+    CrawlJob(cfg, gen["pages"], gen["pages_meta"], warm_dir).run()
+    import shutil as _sh
+
+    _sh.rmtree(warm_dir, ignore_errors=True)
 
 
 def _bench_crawl() -> dict:
@@ -94,6 +97,12 @@ def _bench_crawl() -> dict:
     mt = pq.read_table(os.path.join(workdir, "metrics.parquet")).to_pandas()
     deduped = int(mt["links_deduped_in_epoch"].sum())
     fetched = int(mt["fetched"].sum())
+    # bench outputs are throwaway: reclaim the run dir immediately
+    # (repeated runs otherwise fill /tmp with resources parquet and
+    # disk pressure poisons later timings)
+    import shutil as _sh
+
+    _sh.rmtree(workdir, ignore_errors=True)
     return {
         "crawl_sec": round(wall, 3),
         "boot_sec": res["boot_sec"],

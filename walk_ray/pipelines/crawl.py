@@ -348,22 +348,31 @@ class CommitStage:
 
 
 def _push_rows_to_frontier(frontier_handles, rows: dict, by_url: bool = False) -> None:
-    """Route frontier entries to shards. Default: by hash(host) so one
-    shard owns each host's politeness clock. ``by_url`` salts a host
-    across ALL shards (hot-host splitting) — only valid when per-host
-    pacing is inert (delay 0, no politeness, no backoff), where the
-    crawl order comes from the global linearization sort and shard
-    ownership carries no semantics."""
-    keys = rows["url"] if by_url else rows["host"]
-    shard_ids = shard_of(url_hash64_batch(keys), len(frontier_handles))
-    waits = []
-    for s in set(shard_ids.tolist()):
-        idxs = [i for i, x in enumerate(shard_ids) if x == s]
-        shard_rows = {c: [rows[c][i] for i in idxs] for c in FRONTIER_COLS}
-        waits.append(frontier_handles[s].push.remote(shard_rows))
-    import ray
+    from ..state.seen import push_rows_to_frontier
 
-    ray.get(waits)
+    push_rows_to_frontier(frontier_handles, rows, by_url)
+
+
+def _epoch_chunk_impl(table: pa.Table, fetch_stage, body_stage, commit_stage,
+                      batch_size: int) -> int:
+    """One epoch chunk through the fused stage chain (fetch → [body]
+    → extract → commit) as a PLAIN Ray task. The BSP loop launches a
+    fresh pipeline every epoch, and Ray Data's streaming executor
+    costs ~2-4s of setup per execution at 32 CPUs — more than most
+    epochs' useful work. The stages are per-batch callables either
+    way; this is the same fusion map_batches would apply, minus the
+    per-epoch executor spin-up. Memory stays bounded: bodies live
+    only inside the task (extract drops them before commit)."""
+    n_done = 0
+    for off in range(0, table.num_rows, batch_size):
+        batch = table.slice(off, batch_size)
+        t = fetch_stage(batch)
+        if body_stage is not None:
+            t = body_stage(t)
+        t = extract_resources(t)
+        commit_stage(t)
+        n_done += batch.num_rows
+    return n_done
 
 
 def _attach_seq_impl(table: pa.Table, seqs, epoch: int, order_path: str, n_chunks: int):
@@ -473,6 +482,7 @@ class CrawlJob:
         ]
         self.metrics_actor = ray.remote(_Metrics).remote()
         self._attach_seq = ray.remote(_attach_seq_impl)
+        self._epoch_chunk = ray.remote(_epoch_chunk_impl)
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects, cfg.record_headers)
         self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
                                         self.metrics_actor)
@@ -637,47 +647,45 @@ class CrawlJob:
                     chunk_refs.append(refs)
                 else:
                     chunk_refs.extend(refs)
-            ds = rd.from_arrow_refs(chunk_refs)
-            ds = ds.map_batches(self.fetch_stage, batch_format="pyarrow",
-                                batch_size=cfg.fetch_batch_size)
+            body_stage = None
             if cfg.store_bodies:
                 bodies_dir = os.path.join(self.workdir, "bodies", f"epoch-{epoch:05d}")
                 shutil.rmtree(bodies_dir, ignore_errors=True)
                 os.makedirs(bodies_dir, exist_ok=True)
-                ds = ds.map_batches(BodyStage(bodies_dir), batch_format="pyarrow",
-                                    batch_size=cfg.fetch_batch_size)
-            ds = ds.map_batches(extract_resources, batch_format="pyarrow",
-                                batch_size=cfg.fetch_batch_size)
-            ds = ds.map_batches(self.commit_stage, batch_format="pyarrow",
-                                batch_size=cfg.fetch_batch_size)
-            # drive the epoch pipeline to completion (output is one
-            # tiny count row per task)
-            ds.count()
+                body_stage = BodyStage(bodies_dir)
+            # one fused task per chunk (see _epoch_chunk_impl: the
+            # stage chain IS the map_batches fusion, minus the per-
+            # epoch streaming-executor spin-up that otherwise costs
+            # more than most epochs' useful work)
+            ray.get(
+                [
+                    self._epoch_chunk.remote(
+                        ref, self.fetch_stage, body_stage, self.commit_stage,
+                        cfg.fetch_batch_size,
+                    )
+                    for ref in chunk_refs
+                ]
+            )
             _mark("pipeline")
             # epoch drain: each seen shard registers its new URLs (min
             # disc key wins — deterministic) and hands them back for
             # the frontier push. Narrow rows only; volume is the
             # epoch's NEW frontier, already deduplicated shard-side.
-            pushed = 0
-            drains = ray.get(
-                [sh.drain_epoch_new.remote(stopping) for sh in self.seen]
+            # drain + push happen shard-to-shard; the driver sees
+            # only per-shard counts
+            pushed = sum(
+                ray.get(
+                    [
+                        sh.drain_and_push.remote(
+                            stopping, self.frontier, cfg.job_id, epoch + 1,
+                            cfg._salt_hosts, _DISC_SHIFT,
+                        )
+                        for sh in self.seen
+                    ]
+                )
             )
-            if not stopping:
-                for d_urls, d_discs in drains:
-                    if not d_urls:
-                        continue
-                    rows = {
-                        "url": d_urls,
-                        "host": [url_host(u) for u in d_urls],
-                        "job_id": [cfg.job_id] * len(d_urls),
-                        "attempts": [0] * len(d_urls),
-                        "prev_status": [0] * len(d_urls),
-                        "epoch": [epoch + 1] * len(d_urls),
-                        "parent_seq": [d // _DISC_SHIFT for d in d_discs],
-                        "link_idx": [d % _DISC_SHIFT for d in d_discs],
-                    }
-                    _push_rows_to_frontier(self.frontier, rows, cfg._salt_hosts)
-                    pushed += len(d_urls)
+            if stopping:
+                pushed = 0
             _mark("drain_push")
 
             if cfg.enable_backoff and cfg.backoff_response_codes:

@@ -38,7 +38,27 @@ from ..schema import (
 )
 from .cuckoo import CuckooFilter
 
-__all__ = ["SeenShard", "url_hash64", "shard_of", "url_hash64_batch"]
+__all__ = ["SeenShard", "url_hash64", "shard_of", "url_hash64_batch",
+           "push_rows_to_frontier"]
+
+
+def push_rows_to_frontier(frontier_handles, rows: dict, by_url: bool = False) -> None:
+    """Route frontier entries to shards (see FrontierShard.push).
+    Default: by hash(host) so one shard owns each host's politeness
+    clock; ``by_url`` salts hot hosts across all shards when per-host
+    pacing is inert."""
+    import ray
+
+    from .frontier import FRONTIER_COLS
+
+    keys = rows["url"] if by_url else rows["host"]
+    shard_ids = shard_of(url_hash64_batch(keys), len(frontier_handles))
+    waits = []
+    for s in set(shard_ids.tolist()):
+        idxs = [i for i, x in enumerate(shard_ids) if x == s]
+        shard_rows = {c: [rows[c][i] for i in idxs] for c in FRONTIER_COLS}
+        waits.append(frontier_handles[s].push.remote(shard_rows))
+    ray.get(waits)
 
 
 def url_hash64(url: str) -> int:
@@ -69,7 +89,26 @@ class SeenShard:
         self.entries: dict[str, list[int]] = {}
         self.filter = CuckooFilter(capacity)
         self.filter_false_positives = 0  # filter said maybe, exact store said new
+        self.filter_rebuilds = 0
         self._epoch_new: dict[str, int] = {}  # url -> min disc key this epoch
+
+    def _ensure_filter_capacity(self, incoming: int = 0) -> None:
+        """Grow (rebuild) the cuckoo filter before it saturates: past
+        ~80% load every insert degenerates into the full kick-eviction
+        loop (hundreds of Python steps per URL — a silent scale
+        cliff). The exact entries dict is authoritative, so a rebuild
+        at 2× capacity restores a clean filter including any
+        previously kicked-out memberships. Amortized O(1) per URL."""
+        f = self.filter
+        slots = f.n_buckets * f.bucket_size
+        if f.count + f.kicked_out + incoming <= 0.8 * slots:
+            return
+        cap = max(slots * 2, int(len(self.entries) * 2.5) + 1024)
+        nf = CuckooFilter(cap)
+        if self.entries:
+            nf.insert_batch(url_hash64_batch(list(self.entries.keys())))
+        self.filter = nf
+        self.filter_rebuilds += 1
 
     # -- enqueue path --------------------------------------------------
 
@@ -99,6 +138,7 @@ class SeenShard:
             new_hashes.append(hashes[i])
             out.append(True)
         if new_hashes:
+            self._ensure_filter_capacity(len(new_hashes))
             self.filter.insert_batch(np.asarray(new_hashes, dtype=np.uint64))
         return out
 
@@ -150,9 +190,36 @@ class SeenShard:
             out_urls.append(u)
             out_discs.append(self._epoch_new[u])
         if out_urls:
+            self._ensure_filter_capacity(len(out_urls))
             self.filter.insert_batch(url_hash64_batch(out_urls))
         self._epoch_new = {}
         return out_urls, out_discs
+
+    def drain_and_push(self, failed: bool, frontier_handles, job_id: str,
+                       next_epoch: int, salt_by_url: bool,
+                       disc_shift: int) -> int:
+        """Epoch drain with the frontier push done SHARD-TO-SHARD:
+        the driver receives only this count. Removes the last
+        per-epoch driver serialization hop (row lists for hundreds of
+        thousands of new URLs used to transit the driver each epoch).
+        """
+        from ..functions.canon import url_host
+
+        out_urls, out_discs = self.drain_epoch_new(failed)
+        if failed or not out_urls:
+            return len(out_urls)
+        rows = {
+            "url": out_urls,
+            "host": [url_host(u) for u in out_urls],
+            "job_id": [job_id] * len(out_urls),
+            "attempts": [0] * len(out_urls),
+            "prev_status": [0] * len(out_urls),
+            "epoch": [next_epoch] * len(out_urls),
+            "parent_seq": [d // disc_shift for d in out_discs],
+            "link_idx": [d % disc_shift for d in out_discs],
+        }
+        push_rows_to_frontier(frontier_handles, rows, salt_by_url)
+        return len(out_urls)
 
     # -- dequeue path --------------------------------------------------
 
@@ -165,6 +232,7 @@ class SeenShard:
             if e is None:
                 e = [STATUS_QUEUED, 0, 0]
                 self.entries[u] = e
+                self._ensure_filter_capacity(1)
                 self.filter.insert_batch(url_hash64_batch([u]))
             e[2] = int(s)
             e[1] += 1
@@ -192,6 +260,7 @@ class SeenShard:
             "filter_load": self.filter.load_factor,
             "filter_false_positives": self.filter_false_positives,
             "filter_kicked_out": self.filter.kicked_out,
+            "filter_rebuilds": self.filter_rebuilds,
         }
 
     def dump(self) -> pa.Table:

@@ -1,18 +1,28 @@
-"""The crawl: a driver-side epoch loop over Ray Data pipelines.
+"""The crawl: a driver-side BSP epoch loop over Ray.
 
 Walk's fixed-point fetch-and-expand loop
 (``/root/reference/lib/coordinator.go:261-312``) becomes BSP
 supersteps (SURVEY §2.9): each epoch pops every politeness-ready
-frontier entry, runs ONE streaming Dataset pipeline
+frontier entry and runs the fused per-batch stage chain
 
-    pops → FetchStage (PageStore actor lookups)
+    pops → FetchStage (PageStore plasma tables + row-index RPCs)
          → extract_resources (vectorized kernels, bodies dropped)
          → CommitStage (resources sink + dequeue via SeenShards +
                         candidate observe: sharded min-disc accumulate)
     then an epoch drain: each SeenShard registers its new URLs
     (commutative min over discovery keys → deterministic
-    first-discovery attribution without a Dataset shuffle) and the
-    survivors push into the frontier shards.
+    first-discovery attribution without a Dataset shuffle) and pushes
+    the survivors shard-to-shard into the frontier.
+
+Epoch chunks execute as PLAIN Ray tasks over object-store Arrow
+blocks rather than a per-epoch ``ray.data`` pipeline: the stage chain
+is exactly what map_batches fusion would produce, but the BSP loop
+launches a fresh pipeline every epoch and the streaming executor's
+per-execution setup (~2-4 s at 32 CPUs) dwarfs most epochs' useful
+work. This is the documented "drop to raw tasks where the Dataset API
+genuinely can't express the semantics" case: a latency-sensitive
+fixed-point loop of many short executions. All offline/query
+pipelines remain Dataset programs.
 
 and loops until the frontier is empty and nothing is in flight —
 walk's done-scan condition (``lib/coordinator.go:181-216``).

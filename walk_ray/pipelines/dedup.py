@@ -201,16 +201,31 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
             ids = doc_arr[lo:hi]
             band = int(band_arr[lo])
             mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_arr[lo:hi]])
-            for i in range(len(ids)):
-                comp_eq = mat[i] == mat[i + 1 :]  # (n-i-1, num_perm)
-                eq = comp_eq.mean(axis=1)
-                hits = np.nonzero(eq >= threshold)[0]
-                for h in hits:
-                    band_hits = comp_eq[h].reshape(bands, rows_per_band).all(axis=1)
-                    if int(np.argmax(band_hits)) != band:  # not first collision
+            # chunk view for the ownership (first-colliding-band) test
+            C = mat.reshape(len(ids), bands, rows_per_band)
+            for i in range(len(ids) - 1):
+                tail = mat[i + 1 :]
+                if band > 0:
+                    # cheap kill: pairs whose band-0 chunks are equal
+                    # belong to band 0's bucket (most pairs, on
+                    # dup-heavy data) — 4 ops instead of num_perm
+                    alive = ~(C[i, 0][None, :] == C[i + 1 :, 0]).all(axis=1)
+                    if band > 1:
+                        surv = np.nonzero(alive)[0]
+                        if len(surv):
+                            # full earlier-band check on the few survivors
+                            ec = (C[i, 1:band][None] == C[i + 1 :, 1:band][surv]).all(axis=2)
+                            alive[surv[ec.any(axis=1)]] = False
+                    cand = np.nonzero(alive)[0]
+                    if not len(cand):
                         continue
+                else:
+                    cand = np.arange(len(tail))
+                comp = mat[i] == tail[cand]  # (n_cand, num_perm)
+                eq = comp.mean(axis=1)
+                for h in np.nonzero(eq >= threshold)[0]:
                     out["a"].append(int(ids[i]))
-                    out["b"].append(int(ids[i + 1 + h]))
+                    out["b"].append(int(ids[i + 1 + cand[h]]))
                     out["est_jaccard"].append(round(float(eq[h]), 6))
         return pd.DataFrame(out) if out["a"] else empty
 

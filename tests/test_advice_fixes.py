@@ -182,3 +182,81 @@ def test_hot_host_salting_spreads_single_host(tmp_path):
     assert not cfg2._salt_hosts
     cfg3 = CrawlConfig(seeds=[], polite=True)
     assert not cfg3._salt_hosts
+
+
+def test_job_json_round_trip():
+    """Every key `cli job new` prints must round-trip through
+    CrawlConfig.from_job_json (round-2 advisory: polite /
+    record_redirects / enable_backoff were silently dropped)."""
+    from dataclasses import asdict
+
+    defaults = asdict(CrawlConfig())
+    # the template keys exactly as cmd_job_new prints them
+    job_keys = ["seeds", "seeds_path", "domains", "ignore_patterns", "crawl",
+                "delay_milli", "max_attempts", "stop_url", "stop_after_entries",
+                "backoff_response_codes", "enable_backoff", "record_headers",
+                "polite", "record_redirects"]
+    nondefault = {
+        "seeds": ["http://a.example/"], "seeds_path": "/tmp/seeds.txt",
+        "domains": ["a.example"], "ignore_patterns": ["\\.png$"],
+        "crawl": False, "delay_milli": 250, "max_attempts": 7,
+        "stop_url": "http://a.example/stop", "stop_after_entries": 9,
+        "backoff_response_codes": [429, 503], "enable_backoff": True,
+        "record_headers": True, "polite": True, "record_redirects": False,
+    }
+    for k in job_keys:
+        assert k in nondefault, f"template key {k} missing a non-default probe"
+        assert nondefault[k] != defaults[k], f"probe for {k} equals the default"
+    cfg = CrawlConfig.from_job_json(nondefault)
+    for k in job_keys:
+        assert getattr(cfg, k) == nondefault[k], f"{k} did not round-trip"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_with_binding_pop_budget_keeps_order(tmp_path):
+    """Resume determinism when max_pop_per_epoch BINDS: the
+    proportional pop budgets depend on _shard_sizes (queue sizes after
+    the previous epoch), which must be restored from the checkpoint
+    manifest — otherwise the first post-resume epoch pops with uniform
+    budgets and the crawl order diverges (round-2 advisory)."""
+    gen = generate_pages("qri_io_shaped", str(tmp_path / "gen"), seed=7)
+
+    def mk(workdir):
+        cfg = CrawlConfig.from_job_json(
+            gen["job"], n_frontier_shards=3, n_seen_shards=2, n_page_parts=2,
+            checkpoint_every=1, max_pop_per_epoch=17,
+        )
+        return CrawlJob(cfg, gen["pages"], gen["pages_meta"], workdir)
+
+    ref = mk(str(tmp_path / "ref")).run()
+    # the budget must actually bind for this test to mean anything
+    mrows = pq.read_table(os.path.join(str(tmp_path / "ref"), "metrics.parquet"))
+    assert max(mrows["popped"].to_pylist()) <= 17 + 3  # per-shard +1 rounding
+    assert len(mrows) > 3  # capped epochs => many epochs
+
+    class _Stop(Exception):
+        pass
+
+    crash_dir = str(tmp_path / "crash")
+    job = mk(crash_dir)
+    orig_ckpt = job._checkpoint
+
+    def exploding_ckpt(epoch, final=False):
+        orig_ckpt(epoch, final=final)
+        if not final and epoch >= 2:
+            raise _Stop()
+
+    job._checkpoint = exploding_ckpt
+    with pytest.raises(_Stop):
+        job.run()
+
+    resumed = mk(crash_dir).run(resume=True)
+
+    def order(res):
+        t = pq.read_table(res["order_dir"]).sort_by(
+            [("epoch", "ascending"), ("seq", "ascending")]
+        )
+        return list(zip(t["epoch"].to_pylist(), t["seq"].to_pylist(),
+                        t["url"].to_pylist()))
+
+    assert order(resumed) == order(ref)

@@ -168,8 +168,8 @@ def cmd_job_new(args) -> int:
     cfg = asdict(CrawlConfig())
     job_keys = ["seeds", "seeds_path", "domains", "ignore_patterns", "crawl",
                 "delay_milli", "max_attempts", "stop_url", "stop_after_entries",
-                "backoff_response_codes", "record_headers", "polite",
-                "record_redirects"]
+                "backoff_response_codes", "enable_backoff", "record_headers",
+                "polite", "record_redirects"]
     print(json.dumps({k: cfg[k] for k in job_keys}, indent=2))
     return 0
 

@@ -153,6 +153,9 @@ class CrawlConfig:
             seeds_path=job.get("seeds_path", ""),
             backoff_response_codes=job.get("backoff_response_codes", []),
             record_headers=job.get("record_headers", False),
+            polite=job.get("polite", False),
+            record_redirects=job.get("record_redirects", True),
+            enable_backoff=job.get("enable_backoff", False),
         )
         for k, v in overrides.items():
             setattr(cfg, k, v)
@@ -385,32 +388,83 @@ def _epoch_chunk_impl(table: pa.Table, fetch_stage, body_stage, commit_stage,
     return n_done
 
 
-def _attach_seq_impl(table: pa.Table, seqs, epoch: int, order_path: str, n_chunks: int):
+def _attach_seq_impl(table: pa.Table, seqs, epoch: int, n_chunks: int):
     """Remote task: stamp the epoch + globally-assigned seq column onto
-    one frontier shard's popped rows (which never visit the driver),
-    write the shard's slice of the crawl-order golden, and return the
-    table pre-split into ``n_chunks`` blocks for the epoch Dataset."""
+    one frontier shard's popped rows (which never visit the driver) and
+    return the table pre-split into ``n_chunks`` blocks for the epoch
+    fetch tasks. The crawl-order golden is written separately by
+    :func:`_write_order_impl` (one file per epoch, off the hot path)."""
     n = table.num_rows
     table = table.set_column(
         table.schema.get_field_index("epoch"), "epoch", pa.array([epoch] * n, pa.int32())
     )
     table = table.append_column("seq", pa.array(seqs, pa.int64()))
-    order_t = pa.table(
-        {
-            "epoch": table["epoch"],
-            "seq": table["seq"],
-            "url": table["url"],
-            "fetch_after": table["fetch_after"],
-        }
-    )
-    tmp = order_path + ".tmp"
-    pq.write_table(order_t, tmp)
-    os.replace(tmp, order_path)
     step = (n + n_chunks - 1) // n_chunks
     chunks = [table.slice(i, step) for i in range(0, n, step)]
     while len(chunks) < n_chunks:
         chunks.append(table.schema.empty_table())
     return chunks[0] if n_chunks == 1 else tuple(chunks)
+
+
+def _assign_seqs_impl(seq_start: int, n_shards: int, *keys_list):
+    """Remote task: global dense seq assignment over the canonical
+    linearization ``(epoch, fetch_after, parent_seq, link_idx)``.
+
+    The per-shard key arrays arrive as object-store references straight
+    from the frontier shards' pops — the driver never sees a per-row
+    value (it holds only counts and refs). One vectorized stable
+    lexsort, identical ordering to the old driver-side sort, then the
+    dense seq range splits back into per-shard arrays returned as
+    ``n_shards`` separate objects so each shard's fetch chain can start
+    as soon as its slice lands."""
+    import numpy as np
+
+    ep = np.concatenate([k["epoch"] for k in keys_list])
+    fa = np.concatenate([k["fetch_after"] for k in keys_list])
+    ps = np.concatenate([k["parent_seq"] for k in keys_list])
+    li = np.concatenate([k["link_idx"] for k in keys_list])
+    n = len(ep)
+    order = np.lexsort((li, ps, fa, ep))  # last key is primary
+    seqs_all = np.empty(n, dtype=np.int64)
+    seqs_all[order] = seq_start + np.arange(n, dtype=np.int64)
+    out, off = [], 0
+    for k in keys_list:
+        ln = len(k["epoch"])
+        out.append(seqs_all[off : off + ln])
+        off += ln
+    return out[0] if n_shards == 1 else tuple(out)
+
+
+def _write_order_impl(epoch: int, order_path: str, n_shards: int, *parts):
+    """Remote task: ONE crawl-order golden file per epoch (seq-sorted),
+    instead of one per (epoch × shard) — file count stays O(epochs) on
+    a long crawl. Runs off the hot path; the driver awaits the write
+    only at checkpoint/finalize."""
+    import numpy as np
+
+    seq_arrs, tables = parts[:n_shards], parts[n_shards:]
+    subs = [
+        pa.table({"seq": pa.array(np.asarray(sa, dtype=np.int64)),
+                  "url": t["url"], "fetch_after": t["fetch_after"]})
+        for sa, t in zip(seq_arrs, tables) if t.num_rows
+    ]
+    cat = pa.concat_tables(subs) if subs else pa.table(
+        {"seq": pa.array([], pa.int64()), "url": pa.array([], pa.string()),
+         "fetch_after": pa.array([], pa.float64())}
+    )
+    seq = cat["seq"].to_numpy()
+    order_t = pa.table(
+        {
+            "epoch": pa.array(np.full(len(cat), epoch, dtype=np.int32)),
+            "seq": cat["seq"],
+            "url": cat["url"],
+            "fetch_after": cat["fetch_after"],
+        }
+    ).take(np.argsort(seq, kind="stable"))
+    tmp = order_path + ".tmp"
+    pq.write_table(order_t, tmp)
+    os.replace(tmp, order_path)
+    return len(seq)
 
 
 def _proportional_budgets(sizes, total_budget: int, n: int) -> list[int]:
@@ -492,6 +546,8 @@ class CrawlJob:
         ]
         self.metrics_actor = ray.remote(_Metrics).remote()
         self._attach_seq = ray.remote(_attach_seq_impl)
+        self._assign_seqs = ray.remote(_assign_seqs_impl)
+        self._write_order = ray.remote(_write_order_impl)
         self._epoch_chunk = ray.remote(_epoch_chunk_impl)
         self.fetch_stage = FetchStage(self.stores, cfg.record_redirects, cfg.record_headers)
         self.commit_stage = CommitStage(self.seen, self.frontier, self.robots, cfg, "",
@@ -562,6 +618,7 @@ class CrawlJob:
         self.vnow = 0.0
         self._last_speedup_v = 0.0  # virtual time of last backoff recovery tick
         self._shard_sizes: list[int] | None = None  # queue sizes after last epoch
+        self._order_refs: list = []  # in-flight crawl-order golden writes
         self.seq_counter = 0
         self.done_total = 0
         epoch = 0
@@ -581,11 +638,10 @@ class CrawlJob:
                 if debug:
                     _marks.append((label, time.monotonic()))
             # pops stay in the object store: each shard ships the
-            # driver only the narrow linearization keys (~28 B/row)
-            # plus an ObjectRef to its popped rows. URLs and all other
-            # payload go straight from shard to fetch tasks.
-            import numpy as np
-
+            # driver two scalars (count, max fetch_after) plus
+            # ObjectRefs to its key arrays and popped rows. URLs and
+            # all other payload go straight from shard to fetch tasks;
+            # even the linearization keys never visit the driver.
             # per-shard pop budgets proportional to queue sizes (from
             # the previous epoch's size scan): under host skew a hot
             # shard gets most of max_pop_per_epoch instead of an equal
@@ -598,10 +654,11 @@ class CrawlJob:
                     for f, b in zip(self.frontier, budgets)
                 ]
             )
-            keys_list = [k for k, _ in results]
-            table_refs = [r for _, r in results]
-            lens = [len(k["epoch"]) for k in keys_list]
+            lens = [r[0] for r in results]
+            keys_refs = [r[2] for r in results]
+            table_refs = [r[3] for r in results]
             n_pop = int(sum(lens))
+            max_fa_epoch = max((r[1] for r in results if r[0]), default=0.0)
             _mark("pop")
             if n_pop == 0:
                 sizes = ray.get([f.size.remote() for f in self.frontier])
@@ -613,17 +670,26 @@ class CrawlJob:
                 continue
 
             # canonical linearization (epoch, fetch_after, parent_seq,
-            # link_idx) + global dense seq assignment — a vectorized
-            # stable lexsort over the key arrays only (identical order
-            # to the old per-tuple Python sort, shard-count-independent)
-            ep = np.concatenate([k["epoch"] for k in keys_list])
-            fa = np.concatenate([k["fetch_after"] for k in keys_list])
-            ps = np.concatenate([k["parent_seq"] for k in keys_list])
-            li = np.concatenate([k["link_idx"] for k in keys_list])
-            order = np.lexsort((li, ps, fa, ep))  # last key is primary
-            seqs_all = np.empty(n_pop, dtype=np.int64)
-            seqs_all[order] = self.seq_counter + np.arange(n_pop, dtype=np.int64)
+            # link_idx) + global dense seq assignment runs as a REMOTE
+            # task over the shards' key refs (_assign_seqs_impl): the
+            # driver's only role is counting — no O(pop) work remains
+            # on the driver anywhere in the epoch loop.
+            n_shards = len(self.frontier)
+            seq_refs = self._assign_seqs.options(
+                num_returns=n_shards if n_shards > 1 else 1
+            ).remote(self.seq_counter, n_shards, *keys_refs)
+            if n_shards == 1:
+                seq_refs = [seq_refs]
             self.seq_counter += n_pop
+            # crawl-order golden: one seq-sorted file per EPOCH,
+            # written off the hot path (awaited at checkpoint/finalize)
+            self._order_refs.append(
+                self._write_order.remote(
+                    epoch,
+                    os.path.join(self.order_root, f"epoch-{epoch:05d}.parquet"),
+                    n_shards, *seq_refs, *table_refs,
+                )
+            )
             _mark("order_sort_write")
 
             res_dir = os.path.join(self.resources_root, f"epoch-{epoch:05d}")
@@ -635,23 +701,16 @@ class CrawlJob:
             # actor-pool spin-up); the heavy state lives in the
             # PageStore/Seen/Frontier actors they call into.
             self.commit_stage.resources_dir = res_dir
-            # seq columns attach in per-shard remote tasks that also
-            # write the crawl-order golden slice and pre-split into
-            # blocks; the driver handles only ObjectRefs from here on
+            # seq columns attach in per-shard remote tasks that
+            # pre-split into blocks; the driver handles only ObjectRefs
             total_blocks = max(1, min(64, n_pop // cfg.fetch_batch_size + 1))
             chunk_refs = []
-            off = 0
             for si, (ln, tref) in enumerate(zip(lens, table_refs)):
                 if ln == 0:
                     continue
-                shard_seqs = seqs_all[off : off + ln]
-                off += ln
                 n_chunks = max(1, round(total_blocks * ln / n_pop))
-                order_path = os.path.join(
-                    self.order_root, f"epoch-{epoch:05d}-shard-{si:03d}.parquet"
-                )
                 refs = self._attach_seq.options(num_returns=n_chunks).remote(
-                    tref, shard_seqs, epoch, order_path, n_chunks
+                    tref, seq_refs[si], epoch, n_chunks
                 )
                 if n_chunks == 1:
                     chunk_refs.append(refs)
@@ -704,7 +763,7 @@ class CrawlJob:
                 # crawl's virtual clock), so recovery is much slower
                 # than the per-response slow-down, like the reference's
                 # real-time minute ticker.
-                epoch_vend = float(fa.max())
+                epoch_vend = max_fa_epoch
                 if epoch_vend - self._last_speedup_v >= 60.0:
                     ray.get([f.speed_up.remote((cfg.delay_milli / 1000.0) / 2)
                              for f in self.frontier])
@@ -761,6 +820,11 @@ class CrawlJob:
     def _checkpoint(self, epoch: int, final: bool = False) -> None:
         import ray
 
+        # the checkpoint must cover every epoch's crawl-order golden:
+        # settle the off-hot-path order writes before the manifest
+        if self._order_refs:
+            ray.get(self._order_refs)
+            self._order_refs.clear()
         ck = os.path.join(self.ckpt_root, f"epoch-{epoch:05d}")
         ray.get(
             [f.checkpoint.remote(ck) for f in self.frontier]
@@ -801,6 +865,17 @@ class CrawlJob:
         self.done_total = m["done_total"]
         self.metrics_rows = list(m.get("metrics_rows", []))
         self.epoch_restored = m["epoch"]
+        # restore the proportional-pop-budget input: an uninterrupted
+        # run enters epoch K+1 with _shard_sizes = queue sizes after
+        # epoch K (checkpointed in the last metrics row). Without this
+        # a resumed crawl pops with uniform budgets where the
+        # uninterrupted run used proportional ones and — when
+        # max_pop_per_epoch binds — diverges from the deterministic
+        # crawl order.
+        if self.metrics_rows:
+            sizes = self.metrics_rows[-1].get("frontier_shard_sizes")
+            if sizes and len(sizes) == len(self.frontier):
+                self._shard_sizes = [int(s) for s in sizes]
         # drop partial outputs of epochs after the checkpoint
         for d in glob.glob(os.path.join(self.resources_root, "epoch-*")):
             if int(os.path.basename(d)[6:]) > m["epoch"]:

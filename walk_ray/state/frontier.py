@@ -136,14 +136,14 @@ class FrontierShard:
 
     def pop_ready_refs(self, now: float, horizon: float, max_total: int = 1 << 30):
         """Scale variant of :meth:`pop_ready` for the epoch hot path:
-        the popped rows stay OUT of the driver. Returns
-        ``(keys, table_ref)`` where ``keys`` holds only the narrow
-        linearization-key arrays (epoch, fetch_after, parent_seq,
-        link_idx — ~28 bytes/row) the driver needs for global seq
-        assignment, and ``table_ref`` is an object-store reference to
-        the full popped rows as one Arrow table (URLs and all) that
-        downstream tasks consume directly via
-        ``ray.data.from_arrow_refs``."""
+        the popped rows stay OUT of the driver entirely. Returns
+        ``(n, max_fetch_after, keys_ref, table_ref)`` — two scalars for
+        the driver plus object-store references: ``keys_ref`` holds the
+        narrow linearization-key arrays (epoch, fetch_after,
+        parent_seq, link_idx) consumed by the remote global-seq
+        assignment task, and ``table_ref`` the full popped rows as one
+        Arrow table (URLs and all) that downstream fetch tasks consume
+        directly. The driver never touches a per-row value."""
         import numpy as np
         import ray
 
@@ -167,7 +167,9 @@ class FrontierShard:
                 "fetch_after": pa.array(popped["fetch_after"], pa.float64()),
             }
         )
-        return keys, ray.put(table)
+        n = table.num_rows
+        max_fa = float(keys["fetch_after"].max()) if n else 0.0
+        return n, max_fa, ray.put(keys), ray.put(table)
 
     def backoff(self, hosts: list[str], step: float) -> None:
         """Per-host slow-down on backoff response codes: each report

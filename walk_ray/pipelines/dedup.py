@@ -22,9 +22,12 @@ Five strategies, each the canonical large-scale shape:
   by embedding cosine; exact blocked-matmul baseline plus an
   IVF-cell-blocked scale path (:func:`embedding_cosine_pairs_blocked`).
 
-Connected components run on the driver over the verified-pair set
-only (provably small: pairs above threshold), per the documented
-partitioning assumption.
+The cluster step (:func:`components_distributed`) is distributed
+min-label propagation over the verified-pairs Dataset — two
+bounded-group shuffles per round, O(diameter) rounds, driver sees only
+per-round change counts. The driver-side :func:`_components` remains
+as the small-scale reference implementation the tests pin the
+distributed path against.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",
+    "components_distributed",
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
@@ -236,6 +240,118 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
     )
 
 
+def components_distributed(pairs, id_col: str = "doc_id", n_buckets: int = 64,
+                           max_rounds: int = 64):
+    """Distributed min-label connected components over a verified-pair
+    Dataset (columns ``a``, ``b``) — the 100-TB cluster step.
+
+    Iterative min-label propagation: every node starts with its own id
+    as label; each round every node takes the min of its own and its
+    neighbors' labels; converges to the component-min in O(diameter)
+    rounds (near-dup clusters are dense — typically 2-3 rounds).
+
+    Shape: edges ride bucketed by ``hash(src) % n_buckets`` and are
+    materialized ONCE; each round is two bounded-group shuffles —
+    propagate (labels meet edges in the src bucket, messages keyed by
+    dst) then reduce (per-node min in the dst bucket) — with all
+    per-node work vectorized pandas inside ``map_groups``. The driver
+    sees only per-round changed-counts (a scalar aggregate); at no
+    point does an edge or label row visit the driver, so a dup-heavy
+    corpus with billions of verified pairs never pins one process.
+
+    Returns a Dataset (id_col, cluster_id), one row per node that
+    appears in some pair, cluster_id = min node id of its component,
+    sorted by id_col.
+    """
+    import ray.data as rd
+
+    empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                          "cluster_id": pd.Series([], dtype="int64")})
+
+    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        src = np.concatenate([a, b])
+        dst = np.concatenate([b, a])
+        return pd.DataFrame({"src": src, "dst": dst,
+                             "bucket": src % n_buckets})
+
+    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
+    if edges.count() == 0:
+        return rd.from_pandas(empty)
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(g["src"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"node": nodes, "label": nodes,
+                             "changed": np.zeros(len(nodes), dtype=np.int64)})
+
+    labels = (
+        edges.groupby("bucket")
+        .map_groups(init_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"src": batch["node"].to_numpy(dtype=np.int64),
+                            "dst": batch["label"].to_numpy(dtype=np.int64)})
+        out["bucket"] = out["src"] % n_buckets
+        out["is_label"] = np.int8(1)
+        return out
+
+    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[["src", "dst", "bucket"]].copy()
+        out["is_label"] = np.int8(0)
+        return out
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        """src-bucket phase: label rows define node→label for every
+        node owned by this bucket; edge rows emit (dst, label[src])
+        candidate messages; each node also emits its own label as a
+        self-message (is_self=1, exactly one per node)."""
+        lab = g[g["is_label"] == 1]
+        ed = g[g["is_label"] == 0]
+        lmap = pd.Series(lab["dst"].to_numpy(dtype=np.int64),
+                         index=lab["src"].to_numpy(dtype=np.int64))
+        node = np.concatenate([ed["dst"].to_numpy(dtype=np.int64),
+                               lab["src"].to_numpy(dtype=np.int64)])
+        cand = np.concatenate([lmap.loc[ed["src"].to_numpy(dtype=np.int64)].to_numpy(),
+                               lab["dst"].to_numpy(dtype=np.int64)])
+        is_self = np.concatenate([np.zeros(len(ed), dtype=np.int8),
+                                  np.ones(len(lab), dtype=np.int8)])
+        return pd.DataFrame({"node": node, "cand": cand, "is_self": is_self,
+                             "bucket2": node % n_buckets})
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        """dst-bucket phase: per-node min over candidates; changed
+        compares against the unique self-message (the old label)."""
+        mins = g.groupby("node")["cand"].min()
+        old = g[g["is_self"] == 1].set_index("node")["cand"].reindex(mins.index)
+        return pd.DataFrame({
+            "node": mins.index.to_numpy(dtype=np.int64),
+            "label": mins.to_numpy(dtype=np.int64),
+            "changed": (mins.to_numpy() < old.to_numpy()).astype("int64"),
+        })
+
+    tagged_edges = edges.map_batches(tag_edges, batch_format="pandas")
+    for _ in range(max_rounds):
+        labels = (
+            tagged_edges.union(labels.map_batches(add_bucket, batch_format="pandas"))
+            .groupby("bucket")
+            .map_groups(propagate, batch_format="pandas")
+            .groupby("bucket2")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        if labels.sum("changed") == 0:
+            break
+
+    def finish(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: batch["node"].astype("int64"),
+                             "cluster_id": batch["label"].astype("int64")})
+
+    return labels.map_batches(finish, batch_format="pandas").sort(id_col)
+
+
 def _components(edges: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
     """Min-label connected components over a verified-pair edge list.
 
@@ -264,15 +380,15 @@ def _components(edges: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:
 def minhash_lsh_dedup(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
                       threshold: float = 0.5):
     """Near-dup clusters: banded LSH → in-bucket signature-estimated
-    Jaccard ≥ threshold → min-label connected components.
+    Jaccard ≥ threshold → DISTRIBUTED min-label connected components
+    (:func:`components_distributed` — the pair set never visits the
+    driver; on a dup-heavy 100-TB corpus it is billions of edges).
 
     Returns (doc_id, cluster_id) for every doc in some cluster of
     size ≥ 2; cluster_id = min doc_id of the cluster.
     """
-    import ray.data as rd
-
     pairs = minhash_lsh_pairs(sf_dir, num_perm, bands, ngram, threshold)
-    return rd.from_pandas(_components(pairs.to_pandas()))
+    return components_distributed(pairs, id_col="doc_id")
 
 
 # -------------------------------------------------------------- simhash
@@ -456,122 +572,91 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     # candidate pairs from banded LSH (est filter 0.2 below the target
     # threshold: ~7.5σ of headroom for the 128-perm estimator at the
     # boundary, so exact recall survives boundary-hugging data; exact
-    # verify prunes after)
+    # verify prunes after). The candidate set stays a DATASET end to
+    # end: membership rows (doc_id, pa, pb, side) derive from it via
+    # map_batches and meet the serialized gram sets in a bucketed
+    # hash_join on doc_id — nothing transits or is broadcast from the
+    # driver, so a dup-heavy corpus whose candidate-pair list dwarfs
+    # one process still streams.
+    from .relational import hash_join
+
     cand = minhash_lsh_pairs(sf_dir, ngram=n,
-                             threshold=max(0.0, threshold - 0.2)).to_pandas()
-    n_pairs = len(cand)
-    if not n_pairs:
-        return rd.from_pandas(pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")}))
-    # the PAIR LIST is the small side (LSH-blocked); broadcast it as
-    # SORTED NUMPY ARRAYS (zero-copy through the object store — a
-    # Python dict of 10^6 lists costs tens of seconds to pickle and to
-    # re-hydrate per task), never the gram sets:
-    #   docs_s[i] -> (pids_s[i], sides_s[i])  sorted by doc for
-    #   searchsorted membership lookup; a_arr/b_arr index by pair id.
-    a_arr = cand["a"].to_numpy(dtype=np.int64)
-    b_arr = cand["b"].to_numpy(dtype=np.int64)
-    pid_range = np.arange(n_pairs, dtype=np.int64)
-    docs = np.concatenate([a_arr, b_arr])
-    pids = np.concatenate([pid_range, pid_range])
-    sides = np.concatenate([np.zeros(n_pairs, np.int8), np.ones(n_pairs, np.int8)])
-    order = np.argsort(docs, kind="stable")
-    member_ref = ray.put((docs[order], pids[order], sides[order], a_arr, b_arr))
+                             threshold=max(0.0, threshold - 0.2)).materialize()
+    empty_pairs = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+         "jaccard": pd.Series([], dtype="float64")})
+    if cand.count() == 0:
+        return rd.from_pandas(empty_pairs)
+
+    def emit_membership(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([a, b]),
+             "pa": np.concatenate([a, a]),
+             "pb": np.concatenate([b, b]),
+             "side": np.concatenate([np.zeros(len(a), np.int64),
+                                     np.ones(len(b), np.int64)])})
+
+    membership = cand.map_batches(emit_membership, batch_format="pandas")
+
+    def gram_bytes(batch: pd.DataFrame) -> pd.DataFrame:
+        # each doc's gram set serialized ONCE as one \x00-joined bytes
+        # value — the join then repeats a cheap bytes ref per pair,
+        # not a per-pair Python string list
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"],
+             "gbytes": ["\x00".join(g).encode() for g in batch["grams"]]})
+
+    gb = grams_ds.map_batches(gram_bytes, batch_format="pandas")
+    # inner join: non-candidate docs' gram sets drop at the bucket
+    # merge; the join's shuffle is the only corpus-sized exchange
+    joined = hash_join(membership, gb, "doc_id", "doc_id")
 
     # pairs hash into a bounded number of verify partitions — the
     # groupby then has ~NPARTS groups (not one per pair), so the
-    # per-group overhead amortizes over thousands of pairs while the
-    # shuffle still moves only candidate docs' gram sets
+    # per-group overhead amortizes over thousands of pairs
     NPARTS = 64
 
-    class EmitPairGrams:
-        """Emit (part, pair_id, a, b, side, gbytes) rows for candidate
-        docs only — the corpus-sized grams column is filtered to
-        candidate membership before the only shuffle. Fully
-        vectorized: membership resolves via searchsorted against the
-        broadcast sorted arrays, and each doc's gram set ships as ONE
-        ``\\x00``-joined bytes value repeated per pair (serialized
-        once per doc), not a per-pair string list."""
-
-        def __init__(self):
-            self._m = None
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {"part": pd.Series([], dtype="int64"),
-                 "pair_id": pd.Series([], dtype="int64"),
-                 "a": pd.Series([], dtype="int64"),
-                 "b": pd.Series([], dtype="int64"),
-                 "side": pd.Series([], dtype="int64"),
-                 "gbytes": pd.Series([], dtype="object")})
-            if self._m is None:
-                self._m = ray.get(member_ref)
-            docs_s, pids_s, sides_s, a_by_pid, b_by_pid = self._m
-            d = batch["doc_id"].to_numpy(dtype=np.int64)
-            lo = np.searchsorted(docs_s, d, "left")
-            hi = np.searchsorted(docs_s, d, "right")
-            counts = hi - lo
-            if not counts.sum():
-                return empty
-            sel = np.concatenate(
-                [np.arange(l, h) for l, h in zip(lo, hi) if h > l]
-            )
-            pid_sel = pids_s[sel]
-            gb_per_doc = np.empty(len(d), dtype=object)
-            for i, grams in enumerate(batch["grams"]):
-                if counts[i]:
-                    gb_per_doc[i] = "\x00".join(grams).encode()
-            return pd.DataFrame(
-                {"part": pid_sel % NPARTS,
-                 "pair_id": pid_sel,
-                 "a": a_by_pid[pid_sel],
-                 "b": b_by_pid[pid_sel],
-                 "side": sides_s[sel].astype(np.int64),
-                 "gbytes": np.repeat(gb_per_doc, counts)})
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        pa_ = batch["pa"].to_numpy(dtype=np.int64)
+        pb_ = batch["pb"].to_numpy(dtype=np.int64)
+        with np.errstate(over="ignore"):
+            batch["part"] = (pa_ * np.int64(1000003) + pb_) % NPARTS
+        return batch
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         """Exact-Jaccard verify for every pair in one partition:
-        boundary walk over rows sorted by pair_id, sets built from the
-        serialized gram bytes (one C-level split per row)."""
-        empty = pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values(["pair_id", "side"])
-        pids = g["pair_id"].to_numpy()
+        boundary walk over rows sorted by (pa, pb, side), sets built
+        from the serialized gram bytes (one C-level split per row)."""
+        g = g.sort_values(["pa", "pb", "side"])
+        pa_col = g["pa"].to_numpy(dtype=np.int64)
+        pb_col = g["pb"].to_numpy(dtype=np.int64)
         grams_col = g["gbytes"].to_numpy()
-        a_col = g["a"].to_numpy()
-        b_col = g["b"].to_numpy()
         out = {"a": [], "b": [], "jaccard": []}
-        i, n = 0, len(g)
-        while i < n:
-            if i + 1 < n and pids[i + 1] == pids[i]:
+        i, n_rows = 0, len(g)
+        while i < n_rows:
+            if i + 1 < n_rows and pa_col[i + 1] == pa_col[i] and pb_col[i + 1] == pb_col[i]:
                 ra, rb = bytes(grams_col[i]), bytes(grams_col[i + 1])
                 ga = set(ra.split(b"\x00")) if ra else set()
-                gb = set(rb.split(b"\x00")) if rb else set()
-                inter = len(ga & gb)
-                j = inter / (len(ga) + len(gb) - inter) if inter else 0.0
+                gbs = set(rb.split(b"\x00")) if rb else set()
+                inter = len(ga & gbs)
+                j = inter / (len(ga) + len(gbs) - inter) if inter else 0.0
                 if j >= threshold:
-                    out["a"].append(int(a_col[i]))
-                    out["b"].append(int(b_col[i]))
+                    out["a"].append(int(pa_col[i]))
+                    out["b"].append(int(pb_col[i]))
                     out["jaccard"].append(round(j, 6))
                 i += 2
             else:
                 i += 1  # orphan side (doc missing from grams) — skip
-        return pd.DataFrame(out) if out["a"] else empty
+        return pd.DataFrame(out) if out["a"] else empty_pairs
 
-    verified = (
-        grams_ds.map_batches(EmitPairGrams(), batch_format="pandas")
+    return (
+        joined.map_batches(add_part, batch_format="pandas")
         .groupby("part")
         .map_groups(verify_part, batch_format="pandas")
-        .to_pandas()
+        .sort(["a", "b"])
     )
-    out = verified.sort_values(["a", "b"]).reset_index(drop=True)
-    if out.empty:
-        out = pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "jaccard": pd.Series([], dtype="float64")})
-    return rd.from_pandas(out)
 
 
 # ---------------------------------------------------------- embeddings
@@ -724,12 +809,11 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.9, method: str = "ivf"):
 
     ``method="ivf"`` (default) blocks comparisons by IVF cell — the
     scale path; ``method="exact"`` is the all-pairs oracle baseline.
+    The cluster step is :func:`components_distributed` in both modes —
+    no driver materialization of the pair set.
     """
-    import ray.data as rd
-
     if method == "ivf":
-        edges = embedding_cosine_pairs_blocked(sf_dir, threshold).to_pandas()
+        pairs = embedding_cosine_pairs_blocked(sf_dir, threshold)
     else:
-        edges = embedding_cosine_pairs(sf_dir, threshold).to_pandas()
-    out = _components(edges, id_col="vec_id")
-    return rd.from_pandas(out)
+        pairs = embedding_cosine_pairs(sf_dir, threshold)
+    return components_distributed(pairs, id_col="vec_id")

@@ -30,9 +30,10 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 HOSTS = int(os.environ.get("BENCH_HOSTS", "400"))
 PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "1600"))
-# repetitions of the timed crawl; best run reported (single-node loop
-# times vary ±15% run-to-run from worker-pool and OS noise — the best
-# of N approximates steady-state capability; all runs are recorded)
+# repetitions of the timed crawl; the MEDIAN run is the headline
+# (single-node loop times vary ±15% run-to-run from worker-pool and OS
+# noise — a robust statistic, not max-of-N, per the round-2 advisory;
+# best + all runs ride as supplementary fields)
 REPEATS = int(os.environ.get("BENCH_REPEATS", "1"))
 
 
@@ -94,8 +95,7 @@ def _bench_crawl() -> dict:
     import pyarrow.parquet as pq
     import shutil as _sh
 
-    best = None
-    all_rates = []
+    recs = []
     for rep in range(max(1, REPEATS)):
         run_dir = f"{workdir}_{rep}"
         job = CrawlJob(cfg, gen["pages"], gen["pages_meta"], run_dir)
@@ -111,8 +111,7 @@ def _bench_crawl() -> dict:
         # and disk pressure poisons later timings)
         _sh.rmtree(run_dir, ignore_errors=True)
         rate = round((fetched + deduped) / res["loop_sec"], 1)
-        all_rates.append(rate)
-        rec = {
+        recs.append({
             "crawl_sec": round(wall, 3),
             "boot_sec": res["boot_sec"],
             "loop_sec": res["loop_sec"],
@@ -123,11 +122,15 @@ def _bench_crawl() -> dict:
             "done": res["done_total"],
             "epochs": res["epochs"],
             "urls_per_sec": rate,
-        }
-        if best is None or rate > best["urls_per_sec"]:
-            best = rec
-    best["all_runs_urls_per_sec"] = all_rates
-    return best
+        })
+    # headline = the MEDIAN run (robust statistic; max-of-N is a
+    # biased optimistic estimator — round-2 advisory). For even N the
+    # lower-middle run is reported so the record is a real run.
+    recs.sort(key=lambda r: r["urls_per_sec"])
+    med = recs[(len(recs) - 1) // 2]
+    med["best_urls_per_sec"] = recs[-1]["urls_per_sec"]
+    med["all_runs_urls_per_sec"] = [r["urls_per_sec"] for r in recs]
+    return med
 
 
 def _bench_queries() -> dict:
@@ -228,7 +231,7 @@ def run_scaling() -> dict:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "3"))
+                   BENCH_REPEATS=os.environ.get("BENCH_REPEATS", "5"))
         cmd = [sys.executable, os.path.abspath(__file__)]
         import shutil as _sh
 
@@ -247,11 +250,13 @@ def run_scaling() -> dict:
     tp_hi = r_hi["urls_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
-        "metric": "crawl throughput scaling efficiency (8 → 32 CPUs)",
+        "metric": "crawl throughput scaling efficiency (8 → 32 CPUs, median-of-N per level)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "urls_per_sec_8": tp_lo,
         "urls_per_sec_32": tp_hi,
+        "all_runs_8": r_lo["crawl"]["all_runs_urls_per_sec"],
+        "all_runs_32": r_hi["crawl"]["all_runs_urls_per_sec"],
         "crawl_sec_8": r_lo["crawl"]["crawl_sec"],
         "crawl_sec_32": r_hi["crawl"]["crawl_sec"],
         "queries": {"bench_8": r_lo["value"], "bench_32": r_hi["value"]},

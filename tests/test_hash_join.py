@@ -91,3 +91,20 @@ def test_native_join_engine_matches_bucketed():
     n = run("native")
     for c in ["k", "lv", "rk", "rv"]:
         assert (b[c].astype("int64").values == n[c].astype("int64").values).all(), c
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_orders_by_nation_shuffle_native_engine():
+    """The full orders-by-nation pipeline agrees across join engines
+    at sf0.001 — covers the native Dataset.join path end-to-end in CI,
+    not just the toy-frame agreement above."""
+    from walk_ray.pipelines.relational import orders_by_nation_shuffle
+
+    sf = "/root/testdata/sf0.001"
+    # few partitions: the native join's aggregator actors need CPU
+    # headroom and the test session has only 4 CPUs
+    b = (orders_by_nation_shuffle(sf, n_buckets=4)
+         .to_pandas().sort_values("n_name").reset_index(drop=True))
+    n = (orders_by_nation_shuffle(sf, engine="native", n_buckets=4)
+         .to_pandas().sort_values("n_name").reset_index(drop=True))
+    assert b.equals(n)

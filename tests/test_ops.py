@@ -152,3 +152,40 @@ def test_media_near_dup_composes_with_embedding_dedup():
         true_c = float(mat[pos[int(a)]] @ mat[pos[int(b)]])
         assert abs(true_c - c) < 1e-6
         assert true_c >= 0.99
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decode_stage_real_decoder_drop_in():
+    """The stub codec's integration seam: a real-shaped decoder drops
+    in as a DecodeStage subclass via decode_media(stage_cls=...) with
+    no pipeline-code changes. The replacement returns raw 'pixel'
+    arrays like pillow/ffmpeg would; the stage contract (FEATURE_DIM
+    output, decode_ok surface on per-row decoder failure) holds
+    unchanged through the actor pool."""
+    import numpy as np
+
+    from walk_ray.pipelines.multimodal import DecodeStage, decode_media, make_media_table
+
+    class RealShapedDecoder(DecodeStage):
+        # defined locally so cloudpickle ships it by value to the
+        # actor-pool workers, exactly like a user plugin would ride
+        def _decode(self, kind, payload):
+            if len(payload) < 800:
+                raise ValueError("corrupt file")  # decoder error surface
+            # a "real" decoder yields pixels/samples proportional to
+            # the payload, not a digest
+            return np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+
+    import ray.data as rd
+
+    out = decode_media(rd.from_arrow(make_media_table(48, seed=9)),
+                       stage_cls=RealShapedDecoder).to_pandas()
+    assert len(out) == 48
+    # every row produced a FEATURE_DIM-length vector
+    assert {len(f) for f in out["features"]} == {DecodeStage.FEATURE_DIM}
+    # the error surface: short payloads decode_ok=False with zero
+    # features, everything else ok
+    bad = out[~out["decode_ok"]]
+    assert len(bad) >= 1  # the generator makes some payloads < 800B
+    assert all(list(f) == [0.0] * DecodeStage.FEATURE_DIM for f in bad["features"])
+    assert out["decode_ok"].sum() == 48 - len(bad)

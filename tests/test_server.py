@@ -154,3 +154,50 @@ def test_capture_asof_timestamp(served):
     except urllib.error.HTTPError as e:
         code = e.code
     assert code == 404
+
+
+def test_single_job_route(served):
+    """GET /jobs/{id} (api/job_handlers.go:57-70): one job's config,
+    404 on unknown id."""
+    base, _ = served
+    code, body = _get_json(base + "/jobs/walk_self")
+    assert code == 200
+    assert body["data"]["id"] == "walk_self"
+    assert body["data"]["config"]["seeds"] == ["http://self.test/"]
+    try:
+        with urllib.request.urlopen(base + "/jobs/unknown-job") as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
+def test_raw_body_missing_is_404(served):
+    """A body route whose capture has no stored body (walk_redir ran
+    without store_bodies) is a 404, not an empty 200 (round-2
+    advisory)."""
+    base, _ = served
+    try:
+        with urllib.request.urlopen(
+            base + "/captures/raw/now/http://redir.test/hop/1"
+        ) as r:
+            code = r.status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code == 404
+
+
+def test_request_log_line(capsys):
+    """make_server(log_requests=True) emits walk's middleware log line
+    (api/middleware.go:15) per request."""
+    import threading
+
+    coll = Collection([])
+    srv = make_server(coll, 0, log_requests=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    _get_json(base + "/status")
+    srv.shutdown()
+    srv.server_close()
+    assert "GET /status" in capsys.readouterr().out

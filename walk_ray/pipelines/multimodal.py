@@ -113,14 +113,20 @@ class DecodeStage:
         )
 
 
-def decode_media(media_ds, decoder: str = "fake", concurrency: int = 2, batch_size: int = 16):
+def decode_media(media_ds, decoder: str = "fake", concurrency: int = 2, batch_size: int = 16,
+                 stage_cls: type = DecodeStage):
     """media Dataset → (media_id, kind, decode_ok, features).
 
     Actor pool + small batches: the binary column dominates block
     size, so batches stay small while the pool provides parallelism.
+
+    ``stage_cls`` is the codec integration seam: a real deployment
+    subclasses :class:`DecodeStage` overriding ``_decode`` (pillow /
+    ffmpeg / torchaudio) and passes it here — no pipeline code changes
+    (pinned by ``test_decode_stage_real_decoder_drop_in``).
     """
     return media_ds.map_batches(
-        DecodeStage,
+        stage_cls,
         fn_constructor_kwargs={"decoder": decoder},
         batch_format="pyarrow",
         batch_size=batch_size,

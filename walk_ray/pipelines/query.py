@@ -302,9 +302,15 @@ def get_capture(resources_dirs, url: str, at=None, bodies_dir: str = "",
             cur = r["redirect_to"]
             continue
         if bodies_dir and r.get("hash"):
-            body = get_body(bodies_dir, r["hash"])
-            if body is not None:
-                r["body"] = body
+            # a collection capture's body may live in ANY member
+            # walk's bodies store — search each (first hit wins; the
+            # store is content-addressed so all hits are identical)
+            dirs = [bodies_dir] if isinstance(bodies_dir, str) else list(bodies_dir)
+            for d in dirs:
+                body = get_body(d, r["hash"])
+                if body is not None:
+                    r["body"] = body
+                    break
         return r
     raise ValueError(f"max {max_hops} redirects exceeded")
 

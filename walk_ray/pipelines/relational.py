@@ -259,17 +259,20 @@ def top_parts_by_revenue(sf_dir: str, k: int = 20):
     return out.map_batches(finish, batch_format="pandas")
 
 
-def orders_by_nation_shuffle(sf_dir: str):
+def orders_by_nation_shuffle(sf_dir: str, engine: str = "bucketed",
+                             n_buckets: int = 64):
     """orders ⋈ customer via the partitioned hash join (the
     no-broadcast path for when the dimension side is NOT small), then
     the nation lookup (25 rows — genuinely broadcastable) and the same
-    grouped aggregate as :func:`orders_by_nation`. Same oracle SQL."""
+    grouped aggregate as :func:`orders_by_nation`. Same oracle SQL.
+    ``engine`` selects the join implementation (see :func:`hash_join`)."""
     import ray
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    joined = hash_join(orders, customer, "o_custkey", "c_custkey")
+    joined = hash_join(orders, customer, "o_custkey", "c_custkey", engine=engine,
+                       n_buckets=n_buckets)
 
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))

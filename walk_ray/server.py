@@ -20,6 +20,8 @@ Routes (1:1 with walk's mux):
   crawl)
 - ``GET /captures/resolved/{ts}/{url}`` — resolved body bytes
 - ``GET /jobs`` — job configs (``api/job_handlers.go:29-53``)
+- ``GET /jobs/{id}`` — one job's config, 404 on unknown id
+  (``api/job_handlers.go:57-70``)
 
 Timestamps: RFC3339, or the literals ``now`` / ``zero``
 (``api/collection_handlers.go:188-218``); ``now``/``zero`` mean "no
@@ -144,7 +146,10 @@ class Collection:
         from .pipelines.query import get_capture
 
         dirs = [w["resources"] for w in self.walks.values()]
-        bodies = next((w["bodies"] for w in self.walks.values() if w["bodies"]), "")
+        # every member walk's bodies store is searched — in a
+        # multi-walk collection a capture's body may live in a
+        # different walk's store than the one that indexed it
+        bodies = [w["bodies"] for w in self.walks.values() if w["bodies"]]
         r = get_capture(dirs, url, at=at, resolve=resolve,
                         bodies_dir=bodies if with_body else "")
         return r
@@ -154,6 +159,14 @@ class Collection:
             {"id": wid, **({"config": w["job"]} if w["job"] else {})}
             for wid, w in sorted(self.walks.items())
         ]
+
+    def job(self, walk_id: str) -> dict | None:
+        """One walk's job entry (walk ``GET /jobs/{id}``,
+        api/job_handlers.go:57-70); None for an unknown id."""
+        w = self.walks.get(walk_id)
+        if w is None:
+            return None
+        return {"id": walk_id, **({"config": w["job"]} if w["job"] else {})}
 
 
 def _parse_ts(part: str):
@@ -171,13 +184,19 @@ def _page(qs: dict) -> tuple[int, int]:
     return size, (page - 1) * size
 
 
-def make_server(collection: Collection, port: int = 0) -> ThreadingHTTPServer:
+def make_server(collection: Collection, port: int = 0,
+                log_requests: bool = False) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port 0`` picks a free
-    ephemeral port (``server.server_address[1]``)."""
+    ephemeral port (``server.server_address[1]``).
+
+    ``log_requests`` enables the request log line — the one live piece
+    of walk's API middleware (api/middleware.go:15; its CORS/TLS
+    branches are commented out in the reference)."""
 
     class Handler(BaseHTTPRequestHandler):
-        def log_message(self, *a):  # quiet
-            pass
+        def log_message(self, *a):
+            if log_requests:
+                print(f"{self.command} {self.path}", flush=True)
 
         def _json(self, data, code=200):
             body = json.dumps(
@@ -222,7 +241,11 @@ def make_server(collection: Collection, port: int = 0) -> ThreadingHTTPServer:
                 return self._not_found()
             body = r.pop("body", None)
             if with_body:
-                return self._bytes(bytes(body) if body is not None else b"")
+                if body is None:
+                    # a body route with no stored body is a miss, not
+                    # an empty 200 (round-2 advisory)
+                    return self._not_found()
+                return self._bytes(bytes(body))
             r.pop("html", None)
             r["timestamp"] = _rfc3339(r.get("timestamp"))
             return self._json(r)
@@ -252,6 +275,10 @@ def make_server(collection: Collection, port: int = 0) -> ThreadingHTTPServer:
             if path in ("/jobs", "/jobs/"):
                 limit, offset = _page(qs)
                 return self._json(collection.jobs()[offset : offset + limit])
+            if path.startswith("/jobs/"):
+                # single-job route (api/job_handlers.go:57-70)
+                j = collection.job(path[len("/jobs/"):])
+                return self._json(j) if j is not None else self._not_found()
             return self._not_found()
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)

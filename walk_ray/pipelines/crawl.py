@@ -35,9 +35,12 @@ makes first-discovery attribution exact, so two runs produce identical
 crawl order, URL-seen set and sitemap.
 
 Scale notes (10^10-frontier arithmetic):
-- only frontier rows (url + small ints) ever reach the driver, capped
-  by ``max_pop_per_epoch``; bodies stay inside the epoch pipeline and
-  are dropped before the only shuffle (the candidate groupby);
+- NO per-row data ever reaches the driver: pops ship as object-store
+  refs, the global seq lexsort runs as a remote task over those refs
+  (``_assign_seqs_impl``), and the crawl-order golden is written by a
+  remote task off the hot path — the driver handles counts, refs and
+  the epoch clock only; bodies stay inside the epoch pipeline and are
+  dropped before the only shuffle (the candidate groupby);
 - the seen anti-join is a hash-partitioned batch RPC against sharded
   cuckoo-fronted stores, not a Dataset join;
 - per-epoch outputs land in ``resources/epoch=K/`` so a resumed run

@@ -31,10 +31,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 HOSTS = int(os.environ.get("BENCH_HOSTS", "400"))
 PAGES_PER_HOST = int(os.environ.get("BENCH_PAGES_PER_HOST", "1600"))
 # repetitions of the timed crawl; the MEDIAN run is the headline
-# (single-node loop times vary ±15% run-to-run from worker-pool and OS
-# noise — a robust statistic, not max-of-N, per the round-2 advisory;
-# best + all runs ride as supplementary fields)
-REPEATS = int(os.environ.get("BENCH_REPEATS", "1"))
+# (single-node loop times vary ±15% run-to-run from worker-pool, OS
+# and VM-host noise — a robust statistic, not max-of-N, per the
+# round-2 advisory; best + all runs ride as supplementary fields)
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 
 
 def _warm_up() -> None:

@@ -773,7 +773,8 @@ class CrawlJob:
                     self._last_speedup_v = epoch_vend
             counters = ray.get(self.metrics_actor.drain.remote())
             if debug:
-                deltas = [(l, round(t2 - t1, 2)) for (l, t1), (_, t2) in zip(_marks, _marks[1:])]
+                # label each delta by the phase that ENDED at the mark
+                deltas = [(l2, round(t2 - t1, 2)) for (_, t1), (l2, t2) in zip(_marks, _marks[1:])]
                 print(f"EPOCHDBG {epoch} n_pop={n_pop} " + " ".join(f"{l}={d}" for l, d in deltas),
                       flush=True)
             self.done_total += counters.get("done", 0)

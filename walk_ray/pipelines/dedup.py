@@ -240,7 +240,76 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
     )
 
 
-def components_distributed(pairs, id_col: str = "doc_id", n_buckets: int = 64,
+def _cc_split_edges_impl(table: pa.Table, n_buckets: int):
+    """Plain Ray task: one pairs block → per-bucket edge arrays
+    (both directions, bucketed by ``src % n_buckets``)."""
+    if table.num_rows == 0 or "a" not in table.column_names:
+        # empty blocks (zero-group map_groups artifacts) carry no schema
+        z = np.array([], dtype=np.int64)
+        out = tuple((z, z) for _ in range(n_buckets))
+        return out[0] if n_buckets == 1 else out
+    a = np.asarray(table["a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    b = np.asarray(table["b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    buck = src % n_buckets
+    order = np.argsort(buck, kind="stable")
+    src, dst, buck = src[order], dst[order], buck[order]
+    bounds = np.searchsorted(buck, np.arange(n_buckets + 1))
+    out = tuple((src[bounds[i]:bounds[i + 1]], dst[bounds[i]:bounds[i + 1]])
+                for i in range(n_buckets))
+    return out[0] if n_buckets == 1 else out
+
+
+def _cc_gather_bucket_impl(*parts):
+    """Plain Ray task: concatenate one bucket's edge slices from every
+    input block and initialize labels (label = node id, nodes sorted)."""
+    src = np.concatenate([p[0] for p in parts]) if parts else np.array([], np.int64)
+    dst = np.concatenate([p[1] for p in parts]) if parts else np.array([], np.int64)
+    nodes = np.unique(src)  # sorted
+    # pre-resolve each edge's src position once — rounds then index,
+    # not search
+    src_pos = np.searchsorted(nodes, src)
+    return src_pos, dst, nodes, nodes.copy()  # (edge src idx, edge dst, nodes, labels)
+
+
+def _cc_propagate_impl(bucket_state, labels, n_buckets: int):
+    """Plain Ray task: one src bucket emits per-dst-bucket candidate
+    messages (dst, label[src]); messages that cannot improve any label
+    (cand >= dst, since label[dst] <= dst always) are pruned at the
+    source."""
+    src_pos, dst, _nodes, _ = bucket_state
+    cand = labels[src_pos]
+    keep = cand < dst
+    dst_k, cand_k = dst[keep], cand[keep]
+    buck = dst_k % n_buckets
+    order = np.argsort(buck, kind="stable")
+    dst_k, cand_k, buck = dst_k[order], cand_k[order], buck[order]
+    bounds = np.searchsorted(buck, np.arange(n_buckets + 1))
+    out = tuple((dst_k[bounds[i]:bounds[i + 1]], cand_k[bounds[i]:bounds[i + 1]])
+                for i in range(n_buckets))
+    return out[0] if n_buckets == 1 else out
+
+
+def _cc_reduce_impl(bucket_state, labels, *msgs):
+    """Plain Ray task: per-node min over this bucket's incoming
+    candidates; returns (new_labels, changed_count)."""
+    nodes = bucket_state[2]
+    new = labels.copy()
+    for node_arr, cand_arr in msgs:
+        if len(node_arr):
+            pos = np.searchsorted(nodes, node_arr)
+            np.minimum.at(new, pos, cand_arr)
+    return new, int((new < labels).sum())
+
+
+def _cc_to_table_impl(bucket_state, labels, id_col: str) -> pa.Table:
+    nodes = bucket_state[2]
+    return pa.table({id_col: pa.array(nodes, pa.int64()),
+                     "cluster_id": pa.array(labels, pa.int64())})
+
+
+def components_distributed(pairs, id_col: str = "doc_id", n_buckets: int = 16,
                            max_rounds: int = 64):
     """Distributed min-label connected components over a verified-pair
     Dataset (columns ``a``, ``b``) — the 100-TB cluster step.
@@ -250,106 +319,76 @@ def components_distributed(pairs, id_col: str = "doc_id", n_buckets: int = 64,
     neighbors' labels; converges to the component-min in O(diameter)
     rounds (near-dup clusters are dense — typically 2-3 rounds).
 
-    Shape: edges ride bucketed by ``hash(src) % n_buckets`` and are
-    materialized ONCE; each round is two bounded-group shuffles —
-    propagate (labels meet edges in the src bucket, messages keyed by
-    dst) then reduce (per-node min in the dst bucket) — with all
-    per-node work vectorized pandas inside ``map_groups``. The driver
-    sees only per-round changed-counts (a scalar aggregate); at no
-    point does an edge or label row visit the driver, so a dup-heavy
-    corpus with billions of verified pairs never pins one process.
+    Execution shape: the pairs Dataset executes ONCE into object-store
+    blocks; edges bucket by ``src % n_buckets`` and every round is a
+    BSP superstep of PLAIN Ray tasks — per-src-bucket propagate
+    (messages pruned at the source: a candidate ≥ its target node can
+    never win) and per-dst-bucket ``np.minimum.at`` reduce. The driver
+    sees per-round changed-counts (ints) and ObjectRefs, never an edge
+    or label row — a dup-heavy corpus with billions of verified pairs
+    never pins one process. Raw tasks rather than a per-round Dataset
+    pipeline for the same reason as the crawl's epoch loop: a
+    fixed-point loop of tiny executions pays the streaming executor's
+    per-execution setup (~1-2 s) every round, which dwarfs the work.
 
     Returns a Dataset (id_col, cluster_id), one row per node that
     appears in some pair, cluster_id = min node id of its component,
     sorted by id_col.
     """
+    import ray
     import ray.data as rd
 
     empty = pd.DataFrame({id_col: pd.Series([], dtype="int64"),
                           "cluster_id": pd.Series([], dtype="int64")})
 
-    def to_edges(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["a"].to_numpy(dtype=np.int64)
-        b = batch["b"].to_numpy(dtype=np.int64)
-        src = np.concatenate([a, b])
-        dst = np.concatenate([b, a])
-        return pd.DataFrame({"src": src, "dst": dst,
-                             "bucket": src % n_buckets})
-
-    edges = pairs.map_batches(to_edges, batch_format="pandas").materialize()
-    if edges.count() == 0:
+    block_refs = pairs.to_arrow_refs()
+    if not block_refs:
         return rd.from_pandas(empty)
 
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        nodes = np.unique(g["src"].to_numpy(dtype=np.int64))
-        return pd.DataFrame({"node": nodes, "label": nodes,
-                             "changed": np.zeros(len(nodes), dtype=np.int64)})
+    split = ray.remote(_cc_split_edges_impl)
+    gather = ray.remote(_cc_gather_bucket_impl)
+    propagate = ray.remote(_cc_propagate_impl)
+    reduce_ = ray.remote(num_returns=2)(_cc_reduce_impl)
+    to_table = ray.remote(_cc_to_table_impl)
 
-    labels = (
-        edges.groupby("bucket")
-        .map_groups(init_labels, batch_format="pandas")
-        .materialize()
-    )
+    nb = n_buckets
+    split_refs = [split.options(num_returns=nb if nb > 1 else None).remote(r, nb)
+                  for r in block_refs]
+    if nb == 1:
+        split_refs = [[r] for r in split_refs]
+    states = [gather.remote(*[sr[b] for sr in split_refs]) for b in range(nb)]
+    # labels ride separately so rounds replace them without reshipping
+    # the static edge structure
+    labels = [ray.put(None)] * nb
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"src": batch["node"].to_numpy(dtype=np.int64),
-                            "dst": batch["label"].to_numpy(dtype=np.int64)})
-        out["bucket"] = out["src"] % n_buckets
-        out["is_label"] = np.int8(1)
-        return out
+    def _init_label(st):
+        return st[3]
 
-    def tag_edges(batch: pd.DataFrame) -> pd.DataFrame:
-        out = batch[["src", "dst", "bucket"]].copy()
-        out["is_label"] = np.int8(0)
-        return out
+    init_lab = ray.remote(_init_label)
+    labels = [init_lab.remote(states[b]) for b in range(nb)]
 
-    def propagate(g: pd.DataFrame) -> pd.DataFrame:
-        """src-bucket phase: label rows define node→label for every
-        node owned by this bucket; edge rows emit (dst, label[src])
-        candidate messages; each node also emits its own label as a
-        self-message (is_self=1, exactly one per node)."""
-        lab = g[g["is_label"] == 1]
-        ed = g[g["is_label"] == 0]
-        lmap = pd.Series(lab["dst"].to_numpy(dtype=np.int64),
-                         index=lab["src"].to_numpy(dtype=np.int64))
-        node = np.concatenate([ed["dst"].to_numpy(dtype=np.int64),
-                               lab["src"].to_numpy(dtype=np.int64)])
-        cand = np.concatenate([lmap.loc[ed["src"].to_numpy(dtype=np.int64)].to_numpy(),
-                               lab["dst"].to_numpy(dtype=np.int64)])
-        is_self = np.concatenate([np.zeros(len(ed), dtype=np.int8),
-                                  np.ones(len(lab), dtype=np.int8)])
-        return pd.DataFrame({"node": node, "cand": cand, "is_self": is_self,
-                             "bucket2": node % n_buckets})
-
-    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-        """dst-bucket phase: per-node min over candidates; changed
-        compares against the unique self-message (the old label)."""
-        mins = g.groupby("node")["cand"].min()
-        old = g[g["is_self"] == 1].set_index("node")["cand"].reindex(mins.index)
-        return pd.DataFrame({
-            "node": mins.index.to_numpy(dtype=np.int64),
-            "label": mins.to_numpy(dtype=np.int64),
-            "changed": (mins.to_numpy() < old.to_numpy()).astype("int64"),
-        })
-
-    tagged_edges = edges.map_batches(tag_edges, batch_format="pandas")
     for _ in range(max_rounds):
-        labels = (
-            tagged_edges.union(labels.map_batches(add_bucket, batch_format="pandas"))
-            .groupby("bucket")
-            .map_groups(propagate, batch_format="pandas")
-            .groupby("bucket2")
-            .map_groups(reduce_min, batch_format="pandas")
-            .materialize()
-        )
-        if labels.sum("changed") == 0:
+        msg_refs = [
+            propagate.options(num_returns=nb if nb > 1 else None).remote(
+                states[b], labels[b], nb)
+            for b in range(nb)
+        ]
+        if nb == 1:
+            msg_refs = [[r] for r in msg_refs]
+        results = [
+            reduce_.remote(states[b], labels[b], *[msg_refs[s][b] for s in range(nb)])
+            for b in range(nb)
+        ]
+        labels = [r[0] for r in results]
+        changed = sum(ray.get([r[1] for r in results]))
+        if changed == 0:
             break
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: batch["node"].astype("int64"),
-                             "cluster_id": batch["label"].astype("int64")})
-
-    return labels.map_batches(finish, batch_format="pandas").sort(id_col)
+    tables = [to_table.remote(states[b], labels[b], id_col) for b in range(nb)]
+    ds = rd.from_arrow_refs(tables)
+    if ds.count() == 0:
+        return rd.from_pandas(empty)
+    return ds.sort(id_col)
 
 
 def _components(edges: pd.DataFrame, id_col: str = "doc_id") -> pd.DataFrame:

@@ -87,9 +87,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, ngram=1, threshold=JACCARD_THRESHOLD
         ),  # rows-only (LSH is approximate)
         "simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),  # rows-only
+        # oracle-checked end-to-end: IVF-blocked pairs + distributed
+        # min-label CC vs DuckDB exact pairs + recursive-CTE closure
         "embedding_dedup": lambda sf: dedup.embedding_dedup(
             sf, threshold=COSINE_THRESHOLD
-        ),  # rows-only (cluster labels)
+        ),
         # --- similarity search ---
         "ann_brute_topk": lambda sf: similarity.ann_brute_topk(sf, ANN_QUERY_IDS, ANN_K),
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(sf, ANN_QUERY_IDS, ANN_K),  # rows-only
@@ -327,6 +329,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a, b, ROUND(c, 6) AS cosine
             FROM pairs WHERE c >= {COSINE_THRESHOLD}""",
+        # full oracle for the clustered dedup output: exact cosine
+        # pairs (the IVF-blocked pairs are oracle-equal to these) +
+        # transitive closure; cluster_id = min node of the component,
+        # exactly components_distributed's min-label fixed point
+        "embedding_dedup": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS a, b.vec_id AS b
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+                  AND list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= {COSINE_THRESHOLD}
+            ), edges AS (
+                SELECT a AS src, b AS dst FROM pairs
+                UNION
+                SELECT b AS src, a AS dst FROM pairs
+            ), reach(node, m) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT r.node, e.dst FROM reach r JOIN edges e ON e.src = r.m
+            )
+            SELECT node AS vec_id, MIN(m) AS cluster_id
+            FROM reach GROUP BY node ORDER BY vec_id""",
         "ann_brute_topk": f"""
             WITH q AS (
                 SELECT vec_id, embedding FROM embeddings

@@ -55,11 +55,14 @@ def token_stats(sf_dir: str):
 
     def stats(batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch["text"].fillna("")
+        # vectorized: a whitespace token is a maximal \S+ run, so the
+        # count equals len(strip().split()); both counts are C-speed
+        # regex scans, no per-row Python loop
         return pd.DataFrame(
             {
                 "doc_id": batch["doc_id"],
-                "n_ws_tokens": texts.str.strip().str.split().map(len).astype("int64"),
-                "n_bpe_tokens": texts.map(lambda t: len(_BPE_ISH.findall(t))).astype("int64"),
+                "n_ws_tokens": texts.str.count(r"\S+").astype("int64"),
+                "n_bpe_tokens": texts.str.count(_BPE_ISH).astype("int64"),
             }
         )
 
@@ -73,15 +76,22 @@ def quality_scores(sf_dir: str):
 
     class Scorer:
         def __init__(self):
-            self.stop = set(STOPWORDS)
+            # a stopword is a whole whitespace token equal to one of
+            # STOPWORDS: anchor on start-or-whitespace (consumed) and
+            # whitespace-or-end (lookahead, so adjacent stopwords
+            # separated by one space still both match)
+            self.stop_re = re.compile(
+                r"(?:^|\s)(?:" + "|".join(re.escape(w) for w in STOPWORDS) + r")(?=\s|$)"
+            )
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             texts = batch["text"].fillna("")
-            words = texts.str.split()
-            n_words = words.map(len).astype("int64")
-            stop = self.stop
-            n_stop = words.map(lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
-            total_wlen = words.map(lambda ws: sum(len(w) for w in ws)).astype("int64")
+            # all counts are vectorized regex scans: n_words = maximal
+            # \S+ runs (== len(split())), total word length = count of
+            # non-whitespace chars (split() drops exactly whitespace)
+            n_words = texts.str.count(r"\S+").astype("int64")
+            n_stop = texts.str.count(self.stop_re).astype("int64")
+            total_wlen = texts.str.count(r"\S").astype("int64")
             stop_ratio = (n_stop / n_words.clip(lower=1)).round(6)
             score = ((n_words / 100).clip(upper=1.0) * (1 - stop_ratio)).round(6)
             return pd.DataFrame(
@@ -105,19 +115,26 @@ def lang_id(sf_dir: str):
 
     class LangId:
         def __init__(self):
-            self.markers = [(lang, set(ms)) for lang, ms in LANG_MARKERS]
+            # one compiled whole-token regex per language (same
+            # anchoring as quality_scores' stopword counter)
+            self.markers = [
+                (lang,
+                 re.compile(r"(?:^|\s)(?:" + "|".join(re.escape(m) for m in ms)
+                            + r")(?=\s|$)"))
+                for lang, ms in LANG_MARKERS
+            ]
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            preds = []
-            for text in batch["text"].fillna(""):
-                words = text.split()
-                best_lang, best_n = "en", -1
-                for lang, ms in self.markers:
-                    n = sum(1 for w in words if w in ms)
-                    if n > best_n:
-                        best_lang, best_n = lang, n
-                preds.append(best_lang)
-            return pd.DataFrame({"doc_id": batch["doc_id"], "pred_lang": preds})
+            texts = batch["text"].fillna("")
+            # counts per language are vectorized regex scans; the
+            # prediction is the first language (priority order) with
+            # the max count — idxmax over priority-ordered columns
+            counts = pd.DataFrame(
+                {lang: texts.str.count(rx) for lang, rx in self.markers}
+            )
+            return pd.DataFrame(
+                {"doc_id": batch["doc_id"], "pred_lang": counts.idxmax(axis=1).values}
+            )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(LangId(), batch_format="pandas")
 

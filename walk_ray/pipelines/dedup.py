@@ -199,10 +199,14 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
         doc_arr = g["doc_id"].to_numpy()
         sig_arr = g["sig"].to_numpy()
         band_arr = g["band_id"].to_numpy()
-        out = {"a": [], "b": [], "est_jaccard": []}
+        # hot buckets emit millions of pairs: collect numpy chunks and
+        # concatenate once, never a per-pair Python append
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_j: list[np.ndarray] = []
         for gi in np.nonzero(sizes >= 2)[0]:
             lo, hi = bounds[gi], bounds[gi + 1]
-            ids = doc_arr[lo:hi]
+            ids = doc_arr[lo:hi].astype(np.int64)
             band = int(band_arr[lo])
             mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_arr[lo:hi]])
             # chunk view for the ownership (first-colliding-band) test
@@ -227,11 +231,17 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
                     cand = np.arange(len(tail))
                 comp = mat[i] == tail[cand]  # (n_cand, num_perm)
                 eq = comp.mean(axis=1)
-                for h in np.nonzero(eq >= threshold)[0]:
-                    out["a"].append(int(ids[i]))
-                    out["b"].append(int(ids[i + 1 + cand[h]]))
-                    out["est_jaccard"].append(round(float(eq[h]), 6))
-        return pd.DataFrame(out) if out["a"] else empty
+                sel = np.nonzero(eq >= threshold)[0]
+                if len(sel):
+                    out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
+                    out_b.append(ids[i + 1 + cand[sel]])
+                    out_j.append(np.round(eq[sel], 6))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "est_jaccard": np.concatenate(out_j)}
+        )
 
     return (
         sigs.map_batches(band_rows, batch_format="pandas")
@@ -627,72 +637,100 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     if cand.count() == 0:
         return rd.from_pandas(empty_pairs)
 
-    def emit_membership(batch: pd.DataFrame) -> pd.DataFrame:
-        a = batch["a"].to_numpy(dtype=np.int64)
-        b = batch["b"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"doc_id": np.concatenate([a, b]),
-             "pa": np.concatenate([a, a]),
-             "pb": np.concatenate([b, b]),
-             "side": np.concatenate([np.zeros(len(a), np.int64),
-                                     np.ones(len(b), np.int64)])})
+    # pairs hash into a bounded number of verify partitions FIRST, so
+    # a doc's gram set ships to each partition AT MOST ONCE (≤ NPARTS
+    # copies) — not once per pair-side. On dup-heavy data (sf0.1: ~1M
+    # candidate pairs over 5k docs) this cuts the join/shuffle payload
+    # and the per-pair set construction by two orders of magnitude.
+    NPARTS = 64
 
-    membership = cand.map_batches(emit_membership, batch_format="pandas")
+    def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
+        pa_ = batch["a"].to_numpy(dtype=np.int64)
+        pb_ = batch["b"].to_numpy(dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = (pa_ * np.int64(1000003) + pb_) % NPARTS
+        return pd.DataFrame({"pa": pa_, "pb": pb_, "part": part})
+
+    pair_rows = cand.map_batches(pair_part, batch_format="pandas")
+
+    def doc_part_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        # skinny (doc_id, part) membership, deduped per block — the
+        # residual cross-block duplicates are harmless (verify builds
+        # each doc's set once) and bounded by the block count
+        part2 = np.concatenate([batch["part"], batch["part"]])
+        return pd.DataFrame(
+            {"doc_id": np.concatenate([batch["pa"], batch["pb"]]), "part": part2}
+        ).drop_duplicates()
+
+    membership = pair_rows.map_batches(doc_part_rows, batch_format="pandas")
 
     def gram_bytes(batch: pd.DataFrame) -> pd.DataFrame:
         # each doc's gram set serialized ONCE as one \x00-joined bytes
-        # value — the join then repeats a cheap bytes ref per pair,
-        # not a per-pair Python string list
+        # value — downstream repeats a cheap bytes ref, never a
+        # per-row Python string list
         return pd.DataFrame(
             {"doc_id": batch["doc_id"],
              "gbytes": ["\x00".join(g).encode() for g in batch["grams"]]})
 
     gb = grams_ds.map_batches(gram_bytes, batch_format="pandas")
     # inner join: non-candidate docs' gram sets drop at the bucket
-    # merge; the join's shuffle is the only corpus-sized exchange
+    # merge; output is (doc_id, part, gbytes), ≤ one payload row per
+    # (doc, partition) — the only corpus-sized exchange
     joined = hash_join(membership, gb, "doc_id", "doc_id")
 
-    # pairs hash into a bounded number of verify partitions — the
-    # groupby then has ~NPARTS groups (not one per pair), so the
-    # per-group overhead amortizes over thousands of pairs
-    NPARTS = 64
+    def as_doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n_ = len(batch)
+        return pd.DataFrame(
+            {"part": batch["part"].to_numpy(dtype=np.int64), "kind": np.zeros(n_, np.int64),
+             "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
+             "pa": np.zeros(n_, np.int64), "pb": np.zeros(n_, np.int64),
+             "gbytes": batch["gbytes"]})
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        pa_ = batch["pa"].to_numpy(dtype=np.int64)
-        pb_ = batch["pb"].to_numpy(dtype=np.int64)
-        with np.errstate(over="ignore"):
-            batch["part"] = (pa_ * np.int64(1000003) + pb_) % NPARTS
-        return batch
+    def as_pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        n_ = len(batch)
+        return pd.DataFrame(
+            {"part": batch["part"].to_numpy(dtype=np.int64), "kind": np.ones(n_, np.int64),
+             "doc_id": np.zeros(n_, np.int64),
+             "pa": batch["pa"].to_numpy(dtype=np.int64),
+             "pb": batch["pb"].to_numpy(dtype=np.int64),
+             "gbytes": [b""] * n_})
+
+    co = joined.map_batches(as_doc_rows, batch_format="pandas").union(
+        pair_rows.map_batches(as_pair_rows, batch_format="pandas")
+    )
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        """Exact-Jaccard verify for every pair in one partition:
-        boundary walk over rows sorted by (pa, pb, side), sets built
-        from the serialized gram bytes (one C-level split per row)."""
-        g = g.sort_values(["pa", "pb", "side"])
-        pa_col = g["pa"].to_numpy(dtype=np.int64)
-        pb_col = g["pb"].to_numpy(dtype=np.int64)
-        grams_col = g["gbytes"].to_numpy()
+        """Exact-Jaccard verify for every pair in one partition: each
+        doc's gram set is built ONCE from its serialized bytes, then
+        every pair is a dict lookup + one C-level set intersection."""
+        kind = g["kind"].to_numpy(dtype=np.int64)
+        docs = g[kind == 0]
+        prs = g[kind == 1]
+        gmap: dict[int, set] = {}
+        for d, by in zip(docs["doc_id"].to_numpy(dtype=np.int64),
+                         docs["gbytes"].to_numpy()):
+            if d not in gmap:
+                raw = bytes(by)
+                gmap[d] = set(raw.split(b"\x00")) if raw else set()
         out = {"a": [], "b": [], "jaccard": []}
-        i, n_rows = 0, len(g)
-        while i < n_rows:
-            if i + 1 < n_rows and pa_col[i + 1] == pa_col[i] and pb_col[i + 1] == pb_col[i]:
-                ra, rb = bytes(grams_col[i]), bytes(grams_col[i + 1])
-                ga = set(ra.split(b"\x00")) if ra else set()
-                gbs = set(rb.split(b"\x00")) if rb else set()
-                inter = len(ga & gbs)
-                j = inter / (len(ga) + len(gbs) - inter) if inter else 0.0
-                if j >= threshold:
-                    out["a"].append(int(pa_col[i]))
-                    out["b"].append(int(pb_col[i]))
-                    out["jaccard"].append(round(j, 6))
-                i += 2
-            else:
-                i += 1  # orphan side (doc missing from grams) — skip
+        for pa_, pb_ in zip(prs["pa"].to_numpy(dtype=np.int64),
+                            prs["pb"].to_numpy(dtype=np.int64)):
+            ga = gmap.get(int(pa_))
+            gbs = gmap.get(int(pb_))
+            if ga is None or gbs is None:
+                continue  # orphan pair (doc missing from grams)
+            inter = len(ga & gbs)
+            if not inter:
+                continue
+            j = inter / (len(ga) + len(gbs) - inter)
+            if j >= threshold:
+                out["a"].append(int(pa_))
+                out["b"].append(int(pb_))
+                out["jaccard"].append(round(j, 6))
         return pd.DataFrame(out) if out["a"] else empty_pairs
 
     return (
-        joined.map_batches(add_part, batch_format="pandas")
-        .groupby("part")
+        co.groupby("part")
         .map_groups(verify_part, batch_format="pandas")
         .sort(["a", "b"])
     )

@@ -62,6 +62,7 @@ import time
 import uuid
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -279,25 +280,33 @@ class CommitStage:
         cand_urls: list[str] = []
         cand_disc: list[int] = []
         if cfg.crawl:
-            links_col = batch["links"].to_pylist()
-            h_seqs = seqs
-            is_cand = self.filter
+            import pyarrow.compute as pc
+
             # per-completion-batch dedup with min discovery key (walk's
             # links map, lib/coordinator.go:277-300 / A1+D3) — shrinks
-            # the filter + observe volume before any RPC leaves the task
-            batch_min: dict[str, int] = {}
-            for links, pseq in zip(links_col, h_seqs):
-                links_total += len(links)
-                base = pseq * _DISC_SHIFT
-                for li, link in enumerate(links):
-                    d = base + li
-                    prev = batch_min.get(link)
-                    if prev is None or d < prev:
-                        batch_min[link] = d
-            for link, d in batch_min.items():
-                if is_cand(link):
-                    cand_urls.append(link)
-                    cand_disc.append(d)
+            # the filter + observe volume before any RPC leaves the
+            # task. Vectorized: flatten the list column, compute each
+            # link's discovery key positionally, dictionary-encode for
+            # first-occurrence-ordered uniques (same order the dict
+            # accumulate produced), min-reduce per unique.
+            lc = batch["links"].combine_chunks()
+            flat = lc.flatten()
+            links_total = len(flat)
+            if links_total:
+                counts = pc.fill_null(pc.list_value_length(lc), 0).to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                base = np.repeat(np.asarray(seqs, np.int64), counts) * _DISC_SHIFT
+                starts = np.cumsum(counts) - counts
+                intra = np.arange(links_total, dtype=np.int64) - np.repeat(starts, counts)
+                disc = base + intra
+                de = pc.dictionary_encode(flat)
+                inv = de.indices.to_numpy(zero_copy_only=False)
+                uniq = de.dictionary
+                minv = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(minv, inv, disc)
+                m = self.filter.mask_array(uniq)
+                cand_urls = uniq.filter(pa.array(m)).to_pylist()
+                cand_disc = minv[m].tolist()
             if cand_urls and cfg.polite and self.robots is not None:
                 hosts = [url_host(u) for u in cand_urls]
                 r_shards = shard_of(url_hash64_batch(hosts), len(self.robots))
@@ -317,13 +326,23 @@ class CommitStage:
         #    (observe = commutative min-disc accumulate; the J1
         #    anti-join resolves at epoch drain — no Dataset shuffle)
         if cand_urls:
-            c_shards = shard_of(url_hash64_batch(cand_urls), len(self.seen))
+            c_shards = np.asarray(shard_of(url_hash64_batch(cand_urls), len(self.seen)))
+            # stable sort-by-shard: each shard's slice keeps the same
+            # relative order the per-shard gather produced, at O(n log n)
+            # instead of O(shards x n) scans
+            order = np.argsort(c_shards, kind="stable")
+            sorted_sh = c_shards[order]
+            urls_np = np.array(cand_urls, dtype=object)[order]
+            disc_np = np.asarray(cand_disc, dtype=np.int64)[order]
+            bounds = np.searchsorted(sorted_sh, np.arange(len(self.seen) + 1))
             waits = []
-            for sh in set(c_shards.tolist()):
-                idxs = [i for i, x in enumerate(c_shards) if x == sh]
+            for sh in range(len(self.seen)):
+                lo, hi = int(bounds[sh]), int(bounds[sh + 1])
+                if lo == hi:
+                    continue
                 waits.append(
                     self.seen[sh].observe_candidates.remote(
-                        [cand_urls[i] for i in idxs], [cand_disc[i] for i in idxs]
+                        urls_np[lo:hi].tolist(), disc_np[lo:hi].tolist()
                     )
                 )
             ray.get(waits)
@@ -380,6 +399,37 @@ def _epoch_chunk_impl(table: pa.Table, fetch_stage, body_stage, commit_stage,
     per-epoch executor spin-up. Memory stays bounded: bodies live
     only inside the task (extract drops them before commit)."""
     n_done = 0
+    if os.environ.get("WALK_RAY_CHUNK_CPROF"):
+        import cProfile
+        import time as _tm
+        prof = cProfile.Profile()
+        prof.enable()
+        for off in range(0, table.num_rows, batch_size):
+            batch = table.slice(off, batch_size)
+            t = fetch_stage(batch)
+            if body_stage is not None:
+                t = body_stage(t)
+            t = extract_resources(t)
+            commit_stage(t)
+            n_done += batch.num_rows
+        prof.disable()
+        prof.dump_stats(f"/tmp/chunkprof/{os.getpid()}_{_tm.monotonic_ns()}.pstats")
+        return n_done
+    if os.environ.get("WALK_RAY_CHUNK_PROF"):
+        import time as _tm
+        acc = [0.0, 0.0, 0.0, 0.0]
+        for off in range(0, table.num_rows, batch_size):
+            batch = table.slice(off, batch_size)
+            m0 = _tm.monotonic(); t = fetch_stage(batch); m1 = _tm.monotonic()
+            if body_stage is not None:
+                t = body_stage(t)
+            m2 = _tm.monotonic(); t = extract_resources(t); m3 = _tm.monotonic()
+            commit_stage(t); m4 = _tm.monotonic()
+            acc[0] += m1 - m0; acc[1] += m2 - m1; acc[2] += m3 - m2; acc[3] += m4 - m3
+            n_done += batch.num_rows
+        with open(f"/tmp/chunkprof/{os.getpid()}_{_tm.monotonic_ns()}", "w") as f:
+            f.write(f"{n_done} {acc[0]:.4f} {acc[1]:.4f} {acc[2]:.4f} {acc[3]:.4f}\n")
+        return n_done
     for off in range(0, table.num_rows, batch_size):
         batch = table.slice(off, batch_size)
         t = fetch_stage(batch)

@@ -48,19 +48,33 @@ RESOURCE_STAGE_SCHEMA = pa.schema(
 
 
 def extract_resources(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
     n = batch.num_rows
-    urls = batch["url"].to_pylist()
-    htmls = batch["html"].to_pylist()
-    hops = batch["is_hop"].to_pylist()
-    errors = batch["error"].to_pylist()
     ctypes = batch["content_type"].to_pylist() if "content_type" in batch.column_names else [""] * n
 
-    # only terminal, non-error rows get body extraction
-    idxs = [i for i in range(n) if not hops[i] and not errors[i]]
-    ext = extract_batch([urls[i] for i in idxs], [htmls[i] for i in idxs])
-    pos = {i: j for j, i in enumerate(idxs)}
+    # only terminal, non-error rows get body extraction; the common
+    # case (every row terminal and clean) skips the per-row gather
+    mask = pc.and_(
+        pc.invert(batch["is_hop"].combine_chunks()),
+        pc.fill_null(pc.equal(batch["error"], ""), True),
+    )
+    if pc.all(mask).as_py() is True:
+        idxs = None
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        ext = extract_batch(urls, htmls)
+    else:
+        m = mask.to_pylist()
+        urls = batch["url"].to_pylist()
+        htmls = batch["html"].to_pylist()
+        idxs = [i for i in range(n) if m[i]]
+        ext = extract_batch([urls[i] for i in idxs], [htmls[i] for i in idxs])
+    pos = None if idxs is None else {i: j for j, i in enumerate(idxs)}
 
     def pick(field, default):
+        if pos is None:
+            return ext[field]
         return [ext[field][pos[i]] if i in pos else default for i in range(n)]
 
     cols = {

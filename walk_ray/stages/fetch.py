@@ -26,6 +26,7 @@ discovery key) the downstream dequeue stage needs.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..functions.canon import normalize_url
@@ -35,6 +36,9 @@ __all__ = ["FetchStage", "FETCHED_SCHEMA"]
 
 _404_BODY = b"404 page not found\n"
 _BASE_TS_US = 1_514_764_800_000_000
+
+# worker-process-level page-table cache (see FetchStage._part_table)
+_PART_TABLE_CACHE: dict = {}
 
 FETCHED_SCHEMA = pa.schema(
     [
@@ -81,13 +85,27 @@ class FetchStage:
 
     def _part_table(self, p: int):
         """Zero-copy plasma read of partition ``p``'s page table,
-        cached for this task/worker. The handle RPC is tiny; the table
-        buffers mmap from the local object store."""
+        cached for this WORKER PROCESS. The stage object is
+        re-deserialized for every plain epoch task, so an
+        instance-level cache would re-pay the handle RPC + plasma get
+        each task (~38s of a 640k-page crawl's profile); the
+        module-level LRU keyed by (actor id, partition) survives
+        across tasks on the same worker. Table buffers mmap from the
+        local object store either way — the cache holds references,
+        not copies."""
         import ray
 
         t = self._tables.get(p)
         if t is None:
-            t = ray.get(ray.get(self.stores[p].table_handle.remote()))
+            store = self.stores[p]
+            aid = getattr(store, "_actor_id", None)
+            key = (aid.hex() if aid is not None else id(store), p)
+            t = _PART_TABLE_CACHE.get(key)
+            if t is None:
+                t = ray.get(ray.get(store.table_handle.remote()))
+                _PART_TABLE_CACHE[key] = t
+                while len(_PART_TABLE_CACHE) > 64:
+                    _PART_TABLE_CACHE.pop(next(iter(_PART_TABLE_CACHE)))
             self._tables[p] = t
         return t
 
@@ -99,8 +117,12 @@ class FetchStage:
         serializer."""
         import ray
 
+        from ..state.seen import url_hash64_batch
+
         keys = [request_key(u) for u in urls]
-        parts = partition_of(urls, self.n_parts)
+        # hash the keys directly — partition_of would recompute
+        # request_key per URL (it was ~7% of chunk time, duplicated)
+        parts = (url_hash64_batch(keys) % np.uint64(self.n_parts)).astype(np.int64)
         by_part: dict[int, list[int]] = {}
         for i, p in enumerate(parts):
             by_part.setdefault(int(p), []).append(i)

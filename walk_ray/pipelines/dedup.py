@@ -6,18 +6,22 @@ Five strategies, each the canonical large-scale shape:
   ``groupby(hash)`` keep min doc_id. The grouped shuffle moves only
   (hash, doc_id) pairs, never text.
 - :func:`minhash_lsh_dedup` — shingle → minhash signature (vectorized
-  numpy) → banded LSH bucket groupby with the signature riding ON the
-  band rows → in-bucket estimated-Jaccard verify → connected
+  numpy) → banded LSH bucket exchange with the signature riding ON
+  the band rows → in-bucket estimated-Jaccard verify → connected
   components. The scale path for near-dup text: no driver
-  materialization of per-doc state anywhere.
+  materialization of per-doc state anywhere. The bucket co-partition
+  runs as a raw-task hash exchange (``stages/exchange.py``) — the
+  keys are dense bucket ids, so Ray Data's sort-based groupby shuffle
+  pays for ordering nothing needs.
 - :func:`simhash_dedup` — 64-bit simhash over token features, banded
   into 4×16-bit keys (exact recall at Hamming ≤ 3 by pigeonhole); the
   8-byte hash rides on the band rows, buckets verify locally.
 - :func:`ngram_jaccard_pairs` — EXACT word-n-gram Jaccard similarity
   pairs. ``exact=True`` runs the all-pairs broadcast baseline (small
   scale / oracle-checkable only); ``exact=False`` is the scale path:
-  MinHash-LSH candidates, then a pairs ⋈ grams ``groupby(pair_id)``
-  join shuffles only candidate docs' gram sets.
+  MinHash-LSH candidates, then two bucket exchanges (membership ⋈
+  gram-sets by doc hash; doc payloads ⋈ pairs by verify partition)
+  shuffle only candidate docs' gram sets.
 - :func:`embedding_cosine_pairs` / :func:`embedding_dedup` — near-dup
   by embedding cosine; exact blocked-matmul baseline plus an
   IVF-cell-blocked scale path (:func:`embedding_cosine_pairs_blocked`).
@@ -37,6 +41,12 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..stages.exchange import bucket_exchange
+
+_PAIRS_EST_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()), ("est_jaccard", pa.float64())]
+)
 
 __all__ = [
     "exact_dedup",
@@ -243,11 +253,17 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
              "est_jaccard": np.concatenate(out_j)}
         )
 
-    return (
-        sigs.map_batches(band_rows, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(verify_partition, batch_format="pandas")
-    )
+    def verify_reduce(_b: int, t):
+        if t is None or t.num_rows == 0:
+            return _PAIRS_EST_SCHEMA.empty_table()
+        return pa.Table.from_pandas(verify_partition(t.to_pandas()),
+                                    preserve_index=False).cast(_PAIRS_EST_SCHEMA)
+
+    # bucket exchange instead of groupby(bucket).map_groups: the keys
+    # are already dense bucket ids, so the sort-based shuffle's ~5 s
+    # fixed cost buys nothing (see stages/exchange.py)
+    band_ds = sigs.map_batches(band_rows, batch_format="pandas")
+    return bucket_exchange([(band_ds, "bucket")], NPARTS, verify_reduce)
 
 
 def _cc_split_edges_impl(table: pa.Table, n_buckets: int):
@@ -540,11 +556,17 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
                     out["hamming"].append(int(d[h]))
         return pd.DataFrame(out) if out["a"] else empty
 
-    pairs = (
-        sigs.map_batches(band_rows, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(verify_partition, batch_format="pandas")
-    )
+    ham_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())])
+
+    def verify_reduce(_b: int, t):
+        if t is None or t.num_rows == 0:
+            return ham_schema.empty_table()
+        return pa.Table.from_pandas(verify_partition(t.to_pandas()),
+                                    preserve_index=False).cast(ham_schema)
+
+    band_ds = sigs.map_batches(band_rows, batch_format="pandas")
+    pairs = bucket_exchange([(band_ds, "bucket")], NPARTS, verify_reduce)
     # final ordering at result scale only
     df = pairs.to_pandas().sort_values(["a", "b"])
     return rd.from_pandas(df.reset_index(drop=True))
@@ -559,11 +581,10 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     compared against the broadcast full gram-set dict. Quadratic AND
     whole-dataset-broadcast; intended ONLY for oracle verification at
     small scale. ``exact=False`` is the 100-TB path: candidate pairs
-    come from MinHash-LSH blocking (a small set, by the LSH design
-    assumption), the candidate PAIR LIST is the broadcast side, and
-    only the gram sets of candidate docs are shuffled — via a
-    ``groupby(pair_id)`` join — so corpus-sized state never leaves the
-    Dataset and never lands on the driver.
+    come from MinHash-LSH blocking, membership and gram sets meet in a
+    bucketed co-partition join, and exact Jaccard runs per verify
+    partition — corpus-sized state never leaves the Dataset/object
+    store and never lands on the driver.
     """
     import ray
     import ray.data as rd
@@ -622,27 +643,27 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     # threshold: ~7.5σ of headroom for the 128-perm estimator at the
     # boundary, so exact recall survives boundary-hugging data; exact
     # verify prunes after). The candidate set stays a DATASET end to
-    # end: membership rows (doc_id, pa, pb, side) derive from it via
-    # map_batches and meet the serialized gram sets in a bucketed
-    # hash_join on doc_id — nothing transits or is broadcast from the
-    # driver, so a dup-heavy corpus whose candidate-pair list dwarfs
-    # one process still streams.
-    from .relational import hash_join
-
-    cand = minhash_lsh_pairs(sf_dir, ngram=n,
-                             threshold=max(0.0, threshold - 0.2)).materialize()
+    # end — nothing transits or is broadcast from the driver, so a
+    # dup-heavy corpus whose candidate-pair list dwarfs one process
+    # still streams. Both wide steps run as bucket_exchanges (see
+    # stages/exchange.py): (1) membership ⋈ gram-sets co-partitioned
+    # by hash(doc_id) — the join that tells each gram set which verify
+    # partitions need it; (2) doc payloads ⋈ pair rows co-partitioned
+    # by the pair's verify partition, where exact Jaccard runs.
     empty_pairs = pd.DataFrame(
         {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
          "jaccard": pd.Series([], dtype="float64")})
-    if cand.count() == 0:
-        return rd.from_pandas(empty_pairs)
 
     # pairs hash into a bounded number of verify partitions FIRST, so
     # a doc's gram set ships to each partition AT MOST ONCE (≤ NPARTS
-    # copies) — not once per pair-side. On dup-heavy data (sf0.1: ~1M
-    # candidate pairs over 5k docs) this cuts the join/shuffle payload
-    # and the per-pair set construction by two orders of magnitude.
+    # copies) — not once per pair-side. On dup-heavy data (sf0.1: ~5M
+    # candidate pairs over 4.5k docs) this cuts the join/shuffle
+    # payload and the per-pair set construction by orders of magnitude.
     NPARTS = 64
+    NB = 64  # doc-hash buckets of the membership ⋈ grams join
+
+    cand = minhash_lsh_pairs(sf_dir, ngram=n,
+                             threshold=max(0.0, threshold - 0.2))
 
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:
         pa_ = batch["a"].to_numpy(dtype=np.int64)
@@ -651,16 +672,20 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
             part = (pa_ * np.int64(1000003) + pb_) % NPARTS
         return pd.DataFrame({"pa": pa_, "pb": pb_, "part": part})
 
-    pair_rows = cand.map_batches(pair_part, batch_format="pandas")
+    pair_rows = cand.map_batches(pair_part, batch_format="pandas").materialize()
+    if pair_rows.count() == 0:
+        return rd.from_pandas(empty_pairs)
 
     def doc_part_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        # skinny (doc_id, part) membership, deduped per block — the
-        # residual cross-block duplicates are harmless (verify builds
-        # each doc's set once) and bounded by the block count
-        part2 = np.concatenate([batch["part"], batch["part"]])
-        return pd.DataFrame(
-            {"doc_id": np.concatenate([batch["pa"], batch["pb"]]), "part": part2}
+        # skinny (doc_id, part) membership, deduped per block; the
+        # cross-block duplicates collapse in join_reduce's global
+        # drop_duplicates before any payload attaches
+        df = pd.DataFrame(
+            {"doc_id": np.concatenate([batch["pa"], batch["pb"]]),
+             "part": np.concatenate([batch["part"], batch["part"]])}
         ).drop_duplicates()
+        df["dbucket"] = df["doc_id"].to_numpy(dtype=np.int64) % NB
+        return df
 
     membership = pair_rows.map_batches(doc_part_rows, batch_format="pandas")
 
@@ -668,53 +693,47 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         # each doc's gram set serialized ONCE as one \x00-joined bytes
         # value — downstream repeats a cheap bytes ref, never a
         # per-row Python string list
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
         return pd.DataFrame(
-            {"doc_id": batch["doc_id"],
-             "gbytes": ["\x00".join(g).encode() for g in batch["grams"]]})
+            {"doc_id": ids,
+             "gbytes": ["\x00".join(g).encode() for g in batch["grams"]],
+             "dbucket": ids % NB})
 
     gb = grams_ds.map_batches(gram_bytes, batch_format="pandas")
-    # inner join: non-candidate docs' gram sets drop at the bucket
-    # merge; output is (doc_id, part, gbytes), ≤ one payload row per
-    # (doc, partition) — the only corpus-sized exchange
-    joined = hash_join(membership, gb, "doc_id", "doc_id")
 
-    def as_doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        n_ = len(batch)
-        return pd.DataFrame(
-            {"part": batch["part"].to_numpy(dtype=np.int64), "kind": np.zeros(n_, np.int64),
-             "doc_id": batch["doc_id"].to_numpy(dtype=np.int64),
-             "pa": np.zeros(n_, np.int64), "pb": np.zeros(n_, np.int64),
-             "gbytes": batch["gbytes"]})
+    doc_part_schema = pa.schema(
+        [("part", pa.int64()), ("doc_id", pa.int64()), ("gbytes", pa.binary())])
 
-    def as_pair_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        n_ = len(batch)
-        return pd.DataFrame(
-            {"part": batch["part"].to_numpy(dtype=np.int64), "kind": np.ones(n_, np.int64),
-             "doc_id": np.zeros(n_, np.int64),
-             "pa": batch["pa"].to_numpy(dtype=np.int64),
-             "pb": batch["pb"].to_numpy(dtype=np.int64),
-             "gbytes": [b""] * n_})
+    def join_reduce(_b: int, mem_t, gram_t) -> pa.Table:
+        # inner join on doc_id: non-candidate docs' gram sets drop
+        # here; output ≤ one payload row per (doc, verify partition)
+        if mem_t is None or gram_t is None or not mem_t.num_rows or not gram_t.num_rows:
+            return doc_part_schema.empty_table()
+        mem = mem_t.select(["doc_id", "part"]).to_pandas().drop_duplicates()
+        gr = gram_t.select(["doc_id", "gbytes"]).to_pandas().drop_duplicates("doc_id")
+        out = mem.merge(gr, on="doc_id", how="inner")[["part", "doc_id", "gbytes"]]
+        return pa.Table.from_pandas(out, preserve_index=False).cast(doc_part_schema)
 
-    co = joined.map_batches(as_doc_rows, batch_format="pandas").union(
-        pair_rows.map_batches(as_pair_rows, batch_format="pandas")
-    )
+    doc_parts = bucket_exchange(
+        [(membership, "dbucket"), (gb, "dbucket")], NB, join_reduce)
 
-    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
+    pairs_schema = pa.schema(
+        [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
+
+    def verify_reduce(_b: int, docs_t, pairs_t) -> pa.Table:
         """Exact-Jaccard verify for every pair in one partition: each
         doc's gram set is built ONCE from its serialized bytes, then
         every pair is a dict lookup + one C-level set intersection."""
-        kind = g["kind"].to_numpy(dtype=np.int64)
-        docs = g[kind == 0]
-        prs = g[kind == 1]
+        if docs_t is None or pairs_t is None or not pairs_t.num_rows:
+            return pairs_schema.empty_table()
         gmap: dict[int, set] = {}
-        for d, by in zip(docs["doc_id"].to_numpy(dtype=np.int64),
-                         docs["gbytes"].to_numpy()):
+        for d, by in zip(docs_t["doc_id"].to_numpy(zero_copy_only=False),
+                         docs_t["gbytes"].to_pylist()):
             if d not in gmap:
-                raw = bytes(by)
-                gmap[d] = set(raw.split(b"\x00")) if raw else set()
+                gmap[int(d)] = set(by.split(b"\x00")) if by else set()
         out = {"a": [], "b": [], "jaccard": []}
-        for pa_, pb_ in zip(prs["pa"].to_numpy(dtype=np.int64),
-                            prs["pb"].to_numpy(dtype=np.int64)):
+        for pa_, pb_ in zip(pairs_t["pa"].to_numpy(zero_copy_only=False),
+                            pairs_t["pb"].to_numpy(zero_copy_only=False)):
             ga = gmap.get(int(pa_))
             gbs = gmap.get(int(pb_))
             if ga is None or gbs is None:
@@ -727,13 +746,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
                 out["a"].append(int(pa_))
                 out["b"].append(int(pb_))
                 out["jaccard"].append(round(j, 6))
-        return pd.DataFrame(out) if out["a"] else empty_pairs
+        return pa.table(
+            {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64()),
+             "jaccard": pa.array(out["jaccard"], pa.float64())})
 
-    return (
-        co.groupby("part")
-        .map_groups(verify_part, batch_format="pandas")
-        .sort(["a", "b"])
-    )
+    verified = bucket_exchange(
+        [(doc_parts, "part"), (pair_rows, "part")], NPARTS, verify_reduce)
+    return verified.sort(["a", "b"])
 
 
 # ---------------------------------------------------------- embeddings

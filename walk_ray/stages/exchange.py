@@ -1,0 +1,109 @@
+"""Raw-task hash exchange: the engine's bounded-bucket co-partition
+primitive.
+
+``Dataset.groupby(bucket).map_groups(fn)`` expresses the same thing,
+but Ray Data's groupby is a SORT-based shuffle: every map block is
+sorted, range-partitioned against sampled boundaries, and merged —
+~5 s of fixed overhead per exchange on this cluster even for a few
+hundred MB. The dedup/verify pipelines chain 3-4 such exchanges whose
+keys are ALREADY small dense bucket ids (0..n_buckets-1, the repo-wide
+"group by hash(key) % B, vectorize keys inside" pattern), so the sort
+buys nothing. This module does the exchange directly as plain Ray
+tasks over Arrow blocks:
+
+  split:  one task per input block — stable argsort by bucket id,
+          slice into per-bucket sub-tables (zero Python per row)
+  reduce: one task per bucket — ``pa.concat_tables`` of its slices
+          from every block (per input), then the caller's reduce_fn
+
+The all-to-all moves through the object store exactly like a Dataset
+shuffle (map side materializes to plasma, spills under pressure;
+blocks × buckets objects), but with no sort, no boundary sampling, no
+block re-encoding. Multiple input datasets co-partition in ONE
+exchange (the reduce_fn sees one concatenated table per input), which
+replaces the union-with-null-columns + tag-column idiom a Dataset-only
+join/verify needs.
+
+Partitioning assumption (same as every bucketed op in this repo): the
+caller picks ``n_buckets`` so one bucket's rows fit one worker's heap;
+keys are hashed into buckets, so skew is bounded by the hottest
+SINGLE key's volume, and reduce_fns process keys vectorized inside a
+bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = ["bucket_exchange"]
+
+
+def _split_impl(table: pa.Table, n_buckets: int, key_cols, schema: pa.Schema):
+    """One input block → ``n_buckets`` sub-tables, bucketed by the
+    (single) int bucket column named by ``key_cols[0]``."""
+    if table.num_rows == 0 or key_cols[0] not in table.column_names:
+        # empty map_groups artifacts carry no schema; emit typed empties
+        empty = schema.empty_table() if schema is not None else table
+        out = tuple(empty for _ in range(n_buckets))
+        return out[0] if n_buckets == 1 else out
+    buck = np.asarray(table[key_cols[0]].to_numpy(zero_copy_only=False), dtype=np.int64)
+    order = np.argsort(buck, kind="stable")
+    t = table.take(pa.array(order))
+    bounds = np.searchsorted(buck[order], np.arange(n_buckets + 1))
+    out = tuple(t.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+                for i in range(n_buckets))
+    return out[0] if n_buckets == 1 else out
+
+
+def _reduce_impl(fn, bucket_id: int, n_inputs: int, counts, *parts):
+    """One bucket: concat each input's slices, apply ``fn``."""
+    tables = []
+    off = 0
+    for k in range(n_inputs):
+        chunk = [p for p in parts[off:off + counts[k]] if p.num_rows]
+        off += counts[k]
+        if chunk:
+            tables.append(pa.concat_tables(chunk, promote_options="default"))
+        else:
+            tables.append(None)
+    return fn(bucket_id, *tables)
+
+
+def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None):
+    """Co-partition one or more datasets by a precomputed bucket column
+    and apply ``reduce_fn`` once per bucket.
+
+    ``inputs``: list of ``(dataset, bucket_col)`` — each dataset must
+    carry an int64 column of bucket ids in ``[0, n_buckets)``.
+    ``reduce_fn(bucket_id, *tables)``: one ``pa.Table`` per input (or
+    ``None`` when the bucket got no rows from that input); returns a
+    ``pa.Table``. Runs as a plain Ray task — it must be a module-level
+    function or small closure (it is pickled once per bucket).
+    ``schemas``: optional per-input schemas for typed empty blocks.
+
+    Returns a ``ray.data.Dataset`` of the concatenated reduce outputs.
+    """
+    import ray
+    import ray.data as rd
+
+    split = ray.remote(_split_impl)
+    reduce_ = ray.remote(_reduce_impl)
+
+    per_input_refs = []
+    for idx, (ds, col) in enumerate(inputs):
+        schema = None if schemas is None else schemas[idx]
+        block_refs = ds.to_arrow_refs() if hasattr(ds, "to_arrow_refs") else list(ds)
+        refs = []
+        for r in block_refs:
+            s = split.options(num_returns=n_buckets if n_buckets > 1 else None).remote(
+                r, n_buckets, (col,), schema)
+            refs.append([s] if n_buckets == 1 else s)
+        per_input_refs.append(refs)
+
+    counts = tuple(len(refs) for refs in per_input_refs)
+    out_refs = []
+    for b in range(n_buckets):
+        parts = [refs[bi][b] for refs in per_input_refs for bi in range(len(refs))]
+        out_refs.append(reduce_.remote(reduce_fn, b, len(inputs), counts, *parts))
+    return rd.from_arrow_refs(out_refs)

@@ -197,17 +197,19 @@ class SeenShard:
 
     def drain_and_push(self, failed: bool, frontier_handles, job_id: str,
                        next_epoch: int, salt_by_url: bool,
-                       disc_shift: int) -> int:
+                       disc_shift: int) -> tuple[int, int]:
         """Epoch drain with the frontier push done SHARD-TO-SHARD:
-        the driver receives only this count. Removes the last
-        per-epoch driver serialization hop (row lists for hundreds of
-        thousands of new URLs used to transit the driver each epoch).
+        the driver receives only ``(pushed_count, shard_size)`` — the
+        size rides along so the end-of-epoch metrics need no separate
+        per-shard RPC round. Removes the last per-epoch driver
+        serialization hop (row lists for hundreds of thousands of new
+        URLs used to transit the driver each epoch).
         """
         from ..functions.canon import url_host
 
         out_urls, out_discs = self.drain_epoch_new(failed)
         if failed or not out_urls:
-            return len(out_urls)
+            return len(out_urls), self.size()
         rows = {
             "url": out_urls,
             "host": [url_host(u) for u in out_urls],
@@ -219,7 +221,7 @@ class SeenShard:
             "link_idx": [d % disc_shift for d in out_discs],
         }
         push_rows_to_frontier(frontier_handles, rows, salt_by_url)
-        return len(out_urls)
+        return len(out_urls), self.size()
 
     # -- dequeue path --------------------------------------------------
 

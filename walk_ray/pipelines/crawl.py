@@ -121,6 +121,13 @@ class CrawlConfig:
     max_pop_per_epoch: int = 500_000
     horizon_sec: float = 3600.0
     checkpoint_every: int = 0  # epochs between checkpoints; 0 = final only
+    # self-healing: on a state-actor death mid-crawl (node loss on a
+    # real cluster), rebuild the actor fleet, restore the last
+    # checkpoint (or re-seed when none exists yet) and replay — the
+    # deterministic linearization makes the recovered crawl
+    # byte-identical to an uninterrupted one. 0 recoveries = fail fast.
+    auto_recover: bool = True
+    max_recoveries: int = 3
     # content-addressed body store (walk's CBOR body archive,
     # lib/resource_handler.go:104-155): bodies/epoch-K parquet keyed by
     # multihash, deduplicated within epoch (identical bodies stored once)
@@ -160,6 +167,8 @@ class CrawlConfig:
             polite=job.get("polite", False),
             record_redirects=job.get("record_redirects", True),
             enable_backoff=job.get("enable_backoff", False),
+            auto_recover=job.get("auto_recover", True),
+            max_recoveries=job.get("max_recoveries", 3),
         )
         for k, v in overrides.items():
             setattr(cfg, k, v)
@@ -530,6 +539,31 @@ def _proportional_budgets(sizes, total_budget: int, n: int) -> list[int]:
     return [max(1, (total_budget * sz) // total + 1) for sz in sizes]
 
 
+def _is_distributed_state_loss(err) -> bool:
+    """True when ``err`` means distributed crawl state was lost — an
+    actor died (node loss) or objects it owned became unavailable —
+    as opposed to a crawl bug. Walks the RayTaskError cause chain: the
+    fused epoch chunks call into the state actors, so a shard death
+    surfaces as a task error wrapping the actor error."""
+    import ray.exceptions as rex
+
+    kinds = tuple(
+        t for t in (
+            getattr(rex, n, None)
+            for n in ("RayActorError", "ActorUnavailableError",
+                      "ObjectLostError", "OwnerDiedError",
+                      "ObjectReconstructionFailedError")
+        ) if t is not None
+    )
+    seen = 0
+    while err is not None and seen < 16:
+        if isinstance(err, kinds):
+            return True
+        err = getattr(err, "cause", None)
+        seen += 1
+    return False
+
+
 class _Metrics:
     """Tiny counter actor: per-epoch counters accumulated from stages."""
 
@@ -662,9 +696,6 @@ class CrawlJob:
     # -- epoch loop ----------------------------------------------------
 
     def run(self, resume: bool = False) -> dict:
-        import ray
-        import ray.data as rd
-
         cfg = self.cfg
         t_run0 = time.monotonic()
         self._start_actors()
@@ -675,17 +706,59 @@ class CrawlJob:
         self._order_refs: list = []  # in-flight crawl-order golden writes
         self.seq_counter = 0
         self.done_total = 0
+        self._chaos_fired = False
         epoch = 0
         if resume and self._restore_checkpoint():
             epoch = self.epoch_restored + 1
         else:
             self._seed()
 
-        stopping = False
-        debug = bool(os.environ.get("WALK_RAY_EPOCH_DEBUG"))
         t_start = time.monotonic()
         self.boot_sec = t_start - t_run0
+        self.recoveries = 0
         while True:
+            try:
+                epoch = self._epoch_loop(epoch)
+                break
+            except Exception as e:
+                # self-healing: a dead state actor (node loss on a real
+                # cluster) rebuilds the fleet and replays from the last
+                # checkpoint; anything else — or recovery exhaustion —
+                # propagates
+                if (not cfg.auto_recover
+                        or self.recoveries >= cfg.max_recoveries
+                        or not _is_distributed_state_loss(e)):
+                    raise
+                self.recoveries += 1
+                epoch = self._recover()
+
+        loop_sec = time.monotonic() - t_start
+        self._checkpoint(epoch, final=True)
+        t_fin = time.monotonic()
+        out = self._finalize(time.monotonic() - t_run0)
+        out["boot_sec"] = round(self.boot_sec, 3)
+        out["loop_sec"] = round(loop_sec, 3)
+        out["finalize_sec"] = round(time.monotonic() - t_fin, 3)
+        out["recoveries"] = self.recoveries
+        return out
+
+    def _epoch_loop(self, epoch: int) -> int:
+        """Run epochs from ``epoch`` until the crawl terminates and
+        return the final epoch. Raises on distributed-state loss (actor
+        death / lost objects) — ``run`` recovers and re-enters."""
+        import ray
+
+        cfg = self.cfg
+        stopping = False
+        debug = bool(os.environ.get("WALK_RAY_EPOCH_DEBUG"))
+        # deterministic chaos hook for the recovery tests: kill one
+        # frontier shard at the start of epoch E ("E:shard_idx")
+        chaos = os.environ.get("WALK_RAY_CHAOS_KILL", "")
+        while True:
+            if chaos and not self._chaos_fired and epoch >= int(chaos.split(":")[0]):
+                self._chaos_fired = True
+                idx = int(chaos.split(":")[1]) % len(self.frontier)
+                ray.kill(self.frontier[idx], no_restart=True)
             t_epoch = time.monotonic()
             _marks = [("start", t_epoch)]
             def _mark(label):
@@ -717,7 +790,7 @@ class CrawlJob:
             if n_pop == 0:
                 sizes = ray.get([f.size.remote() for f in self.frontier])
                 if sum(sizes) == 0 or stopping:
-                    break  # done-scan: queue empty ∧ nothing in flight
+                    return epoch  # done-scan: queue empty ∧ nothing in flight
                 nexts = [t for t in ray.get([f.next_ready_time.remote() for f in self.frontier])
                          if t is not None]
                 self.vnow = max(self.vnow, min(nexts))
@@ -863,19 +936,49 @@ class CrawlJob:
             if cfg.stop_after_entries and self.done_total >= cfg.stop_after_entries:
                 stopping = True  # StopAfterEntries (SURVEY O4)
             if stopping:
-                break
+                return epoch
             if cfg.checkpoint_every and (epoch + 1) % cfg.checkpoint_every == 0:
                 self._checkpoint(epoch)
             epoch += 1
 
-        loop_sec = time.monotonic() - t_start
-        self._checkpoint(epoch, final=True)
-        t_fin = time.monotonic()
-        out = self._finalize(time.monotonic() - t_run0)
-        out["boot_sec"] = round(self.boot_sec, 3)
-        out["loop_sec"] = round(loop_sec, 3)
-        out["finalize_sec"] = round(time.monotonic() - t_fin, 3)
-        return out
+    # -- recovery ------------------------------------------------------
+
+    def _teardown_actors(self) -> None:
+        import ray
+
+        for h in (list(self.stores) + list(self.seen) + list(self.frontier)
+                  + (list(self.robots) if self.robots else [])
+                  + [self.metrics_actor]):
+            try:
+                ray.kill(h, no_restart=True)
+            except Exception:
+                pass
+
+    def _recover(self) -> int:
+        """Node-loss recovery: rebuild the whole actor fleet, restore
+        the last checkpoint (or wipe partial outputs and re-seed when
+        none exists yet) and return the epoch to resume from. The
+        deterministic linearization makes the replayed crawl
+        byte-identical to an uninterrupted one (tests/test_recovery.py)."""
+        self._teardown_actors()
+        self._start_actors()
+        # in-flight order writes may reference lineage owned by dead
+        # actors; the surviving files are replayed/overwritten anyway
+        self._order_refs = []
+        self.vnow = 0.0
+        self._last_speedup_v = 0.0
+        self._shard_sizes = None
+        self.seq_counter = 0
+        self.done_total = 0
+        self.metrics_rows = []
+        if self._restore_checkpoint():
+            return self.epoch_restored + 1
+        for d in glob.glob(os.path.join(self.resources_root, "epoch-*")):
+            shutil.rmtree(d, ignore_errors=True)
+        for p in glob.glob(os.path.join(self.order_root, "epoch-*.parquet")):
+            os.remove(p)
+        self._seed()
+        return 0
 
     # -- checkpoint / resume ------------------------------------------
 

@@ -498,8 +498,6 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
     shares a bucket. The 8-byte simhash rides on each band row — the
     bucket verifies locally, no driver materialization or broadcast.
     """
-    import ray.data as rd
-
     sigs = _docs(sf_dir).map_batches(SimHasher(), batch_format="pandas")
 
     NPARTS = 64  # verify partitions (bounded group count, see minhash)
@@ -567,9 +565,10 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
 
     band_ds = sigs.map_batches(band_rows, batch_format="pandas")
     pairs = bucket_exchange([(band_ds, "bucket")], NPARTS, verify_reduce)
-    # final ordering at result scale only
-    df = pairs.to_pandas().sort_values(["a", "b"])
-    return rd.from_pandas(df.reset_index(drop=True))
+    # final ordering as a Dataset sort — the pair set is output-bounded
+    # but on a dup-heavy corpus still too big to funnel through the
+    # driver for ordering
+    return pairs.sort(["a", "b"])
 
 
 # -------------------------------------------------- exact n-gram jaccard

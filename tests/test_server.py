@@ -201,3 +201,86 @@ def test_request_log_line(capsys):
     srv.shutdown()
     srv.server_close()
     assert "GET /status" in capsys.readouterr().out
+
+
+def _post_json(url, payload):
+    import urllib.error
+
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_post_jobs_without_runner_is_405(served):
+    """Parity mode: walk declares POST /jobs but stubs it
+    (api/job_handlers.go:26-28); without a job root ours refuses too."""
+    base, _ = served
+    code, body = _post_json(base + "/jobs", {"job": {}})
+    assert code == 405
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_post_jobs_submits_runs_and_publishes(tmp_path):
+    """POST /jobs with a runner: the job crawls in the background, its
+    status is served while running, and the finished walk is published
+    into the collection (index + captures + /jobs/{id} config)."""
+    import threading
+    import time
+
+    from walk_ray.server import JobRunner
+
+    gen = generate_pages("self_linking", str(tmp_path / "gen"))
+    coll = Collection([])
+    runner = JobRunner(coll, str(tmp_path / "walks"))
+    srv = make_server(coll, 0, runner=runner)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        # invalid bodies are 400 with a reason
+        code, body = _post_json(base + "/jobs", {"job": "nope"})
+        assert code == 400 and "job" in body["data"]["error"]
+        code, body = _post_json(
+            base + "/jobs", {"job": gen["job"], "pages": "/no/such", "meta": "/no/such"})
+        assert code == 400 and "pages" in body["data"]["error"]
+
+        code, body = _post_json(base + "/jobs", {
+            "id": "svc1", "job": gen["job"],
+            "pages": gen["pages"], "meta": gen["pages_meta"],
+        })
+        assert code == 200 and body["data"]["status"] in ("queued", "running")
+        # duplicate id rejected while queued/running
+        code, _ = _post_json(base + "/jobs", {
+            "id": "svc1", "job": gen["job"],
+            "pages": gen["pages"], "meta": gen["pages_meta"],
+        })
+        assert code == 400
+
+        deadline = time.monotonic() + 180
+        st = None
+        while time.monotonic() < deadline:
+            _, j = _get_json(base + "/jobs/svc1")
+            d = j["data"]
+            if "config" in d:  # finished walk superseded the status
+                st = "published"
+                break
+            st = d.get("status")
+            assert st != "failed", d.get("error")
+            time.sleep(0.5)
+        assert st == "published"
+        assert runner.status("svc1")["result"]["done_total"] > 0
+
+        # the new walk serves index rows collection-wide
+        _, idx = _get_json(base + "/captures?limit=5")
+        assert len(idx["data"]) > 0
+        _, walks = _get_json(base + "/collection")
+        assert walks["data"] == ["svc1"]
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -135,11 +135,14 @@ def cmd_serve(args) -> int:
     """HTTP query API over one or more crawl workdirs
     (api/server.go:47-68; default port 2783 like walk)."""
     ray = _ray_session()
-    from .server import Collection, make_server
+    from .server import Collection, JobRunner, make_server
 
-    srv = make_server(Collection(args.workdirs), args.port)
+    coll = Collection(args.workdirs)
+    runner = JobRunner(coll, args.job_root) if args.job_root else None
+    srv = make_server(coll, args.port, runner=runner)
     print(json.dumps({"serving": f"http://127.0.0.1:{srv.server_address[1]}",
-                      "walks": sorted(Collection(args.workdirs).walks)}))
+                      "walks": sorted(coll.walks),
+                      "jobs_enabled": runner is not None}))
     try:
         srv.serve_forever()
     except KeyboardInterrupt:
@@ -246,6 +249,8 @@ def main(argv=None) -> int:
     s = sub.add_parser("serve", help="HTTP query API over crawl workdirs")
     s.add_argument("workdirs", nargs="+")
     s.add_argument("--port", type=int, default=2783)
+    s.add_argument("--job-root", default="",
+                   help="enable POST /jobs; new walks land under this dir")
     s.set_defaults(fn=cmd_serve)
 
     s = sub.add_parser("jobs", help="list job configs of crawl workdirs")

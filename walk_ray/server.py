@@ -22,6 +22,9 @@ Routes (1:1 with walk's mux):
 - ``GET /jobs`` — job configs (``api/job_handlers.go:29-53``)
 - ``GET /jobs/{id}`` — one job's config, 404 on unknown id
   (``api/job_handlers.go:57-70``)
+- ``POST /jobs`` — submit + run a crawl job (walk declares this route
+  but stubs it, ``api/job_handlers.go:26-28``; live here when the
+  server is given a job root — see :class:`JobRunner`)
 
 Timestamps: RFC3339, or the literals ``now`` / ``zero``
 (``api/collection_handlers.go:188-218``); ``now``/``zero`` mean "no
@@ -46,7 +49,7 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
 
-__all__ = ["Collection", "make_server", "serve"]
+__all__ = ["Collection", "JobRunner", "make_server", "serve"]
 
 
 def _rfc3339(ts) -> str:
@@ -69,23 +72,31 @@ class Collection:
         self.walks: dict[str, dict] = {}
         self._index_cache: dict[str, object] = {}
         for wd in workdirs:
-            wid = os.path.basename(os.path.normpath(wd))
-            res = os.path.join(wd, "resources")
-            if not os.path.isdir(res):
-                continue
-            job_path = os.path.join(wd, "job.json")
-            job = None
-            if os.path.exists(job_path):
-                with open(job_path) as f:
-                    job = json.load(f)
-            bodies = os.path.join(wd, "bodies")
-            self.walks[wid] = {
-                "id": wid,
-                "workdir": wd,
-                "resources": res,
-                "bodies": bodies if os.path.isdir(bodies) else "",
-                "job": job,
-            }
+            self.add_walk(wd)
+
+    def add_walk(self, wd: str) -> bool:
+        """Register one crawl workdir (also used by the job runner to
+        publish a just-finished crawl); invalidates the collection-wide
+        index cache so /captures sees the new walk."""
+        wid = os.path.basename(os.path.normpath(wd))
+        res = os.path.join(wd, "resources")
+        if not os.path.isdir(res):
+            return False
+        job_path = os.path.join(wd, "job.json")
+        job = None
+        if os.path.exists(job_path):
+            with open(job_path) as f:
+                job = json.load(f)
+        bodies = os.path.join(wd, "bodies")
+        self.walks[wid] = {
+            "id": wid,
+            "workdir": wd,
+            "resources": res,
+            "bodies": bodies if os.path.isdir(bodies) else "",
+            "job": job,
+        }
+        self._index_cache.pop("", None)
+        return True
 
     # -- index ---------------------------------------------------------
 
@@ -169,6 +180,86 @@ class Collection:
         return {"id": walk_id, **({"config": w["job"]} if w["job"] else {})}
 
 
+class JobRunner:
+    """Crawl-job execution behind ``POST /jobs`` — the route walk
+    declares but leaves an empty stub (``api/job_handlers.go:26-28``);
+    here it is live: a submitted job crawls in a background worker and
+    the finished walk is published into the collection.
+
+    Body: ``{"job": {<walk job config>}, "pages": <pages.parquet>,
+    "meta": <pages_meta.parquet>, "id": <optional>}`` — pages/meta
+    point at the page table the engine fetches from (this engine's
+    stand-in for walk's live HTTP fetcher). Jobs run one at a time on
+    a single worker thread (a crawl saturates the Ray cluster; queuing
+    is backpressure, not a limitation), with status ``queued →
+    running → done | failed`` served by ``GET /jobs[/{id}]``."""
+
+    def __init__(self, collection: Collection, job_root: str):
+        import queue
+        import threading
+
+        self.collection = collection
+        self.job_root = job_root
+        self.jobs: dict[str, dict] = {}
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, body: dict) -> tuple[dict | None, str]:
+        import uuid
+
+        job = body.get("job")
+        pages, meta = body.get("pages", ""), body.get("meta", "")
+        if not isinstance(job, dict):
+            return None, "body must carry a 'job' config object"
+        if not (pages and os.path.exists(pages)):
+            return None, f"pages table not found: {pages!r}"
+        if not (meta and os.path.exists(meta)):
+            return None, f"meta table not found: {meta!r}"
+        jid = str(body.get("id") or uuid.uuid4().hex[:8])
+        with self._lock:
+            if jid in self.jobs or jid in self.collection.walks:
+                return None, f"job id already exists: {jid}"
+            rec = {"id": jid, "status": "queued", "error": ""}
+            self.jobs[jid] = rec
+        self._q.put((jid, job, pages, meta))
+        return dict(rec), ""
+
+    def status(self, jid: str) -> dict | None:
+        with self._lock:
+            rec = self.jobs.get(jid)
+            return dict(rec) if rec else None
+
+    def statuses(self) -> list[dict]:
+        with self._lock:
+            return [dict(r) for r in self.jobs.values()]
+
+    def _loop(self):
+        from .pipelines.crawl import CrawlConfig, CrawlJob
+
+        while True:
+            jid, job, pages, meta = self._q.get()
+            with self._lock:
+                self.jobs[jid]["status"] = "running"
+            workdir = os.path.join(self.job_root, jid)
+            try:
+                cfg = CrawlConfig.from_job_json(job)
+                res = CrawlJob(cfg, pages, meta, workdir).run()
+                with self._lock:
+                    self.jobs[jid].update(
+                        status="done",
+                        result={k: res[k] for k in
+                                ("epochs", "done_total", "seen_total",
+                                 "recoveries", "sitemap_entries")
+                                if k in res},
+                    )
+                self.collection.add_walk(workdir)
+            except Exception as e:  # surfaced via GET /jobs/{id}
+                with self._lock:
+                    self.jobs[jid].update(status="failed", error=str(e))
+
+
 def _parse_ts(part: str):
     """walk pathTimestampURL (api/collection_handlers.go:188-218)."""
     if part in ("now", "zero"):
@@ -185,13 +276,16 @@ def _page(qs: dict) -> tuple[int, int]:
 
 
 def make_server(collection: Collection, port: int = 0,
-                log_requests: bool = False) -> ThreadingHTTPServer:
+                log_requests: bool = False,
+                runner: JobRunner | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server; ``port 0`` picks a free
     ephemeral port (``server.server_address[1]``).
 
     ``log_requests`` enables the request log line — the one live piece
     of walk's API middleware (api/middleware.go:15; its CORS/TLS
-    branches are commented out in the reference)."""
+    branches are commented out in the reference). ``runner`` enables
+    ``POST /jobs`` (job create + execute; 405 without a runner,
+    matching the reference's declared-but-stub route)."""
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
@@ -274,19 +368,49 @@ def make_server(collection: Collection, port: int = 0,
                     return self._capture(prefix)
             if path in ("/jobs", "/jobs/"):
                 limit, offset = _page(qs)
-                return self._json(collection.jobs()[offset : offset + limit])
+                jobs = collection.jobs()
+                if runner is not None:
+                    done_ids = {j["id"] for j in jobs}
+                    jobs += [r for r in runner.statuses() if r["id"] not in done_ids]
+                return self._json(jobs[offset : offset + limit])
             if path.startswith("/jobs/"):
-                # single-job route (api/job_handlers.go:57-70)
-                j = collection.job(path[len("/jobs/"):])
+                # single-job route (api/job_handlers.go:57-70); ids of
+                # runner-submitted jobs resolve to their status until
+                # the finished walk supersedes them in the collection
+                jid = path[len("/jobs/"):]
+                j = collection.job(jid)
+                if j is None and runner is not None:
+                    j = runner.status(jid)
                 return self._json(j) if j is not None else self._not_found()
             return self._not_found()
+
+        def do_POST(self):  # noqa: N802 (stdlib casing)
+            u = urlsplit(self.path)
+            if u.path not in ("/jobs", "/jobs/"):
+                return self._not_found()
+            if runner is None:
+                # parity mode: the reference declares POST /jobs but
+                # leaves it an empty stub (api/job_handlers.go:26-28)
+                return self._json({"error": "job submission not enabled"}, 405)
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except (ValueError, json.JSONDecodeError):
+                return self._json({"error": "invalid JSON body"}, 400)
+            rec, err = runner.submit(body)
+            if rec is None:
+                return self._json({"error": err}, 400)
+            return self._json(rec, 200)
 
     return ThreadingHTTPServer(("127.0.0.1", port), Handler)
 
 
-def serve(workdirs: list[str], port: int = 2783):
-    """Blocking serve (walk's default port is 2783, cmd/server.go)."""
-    srv = make_server(Collection(workdirs), port)
+def serve(workdirs: list[str], port: int = 2783, job_root: str = ""):
+    """Blocking serve (walk's default port is 2783, cmd/server.go).
+    ``job_root`` enables POST /jobs; new walks land under it."""
+    coll = Collection(workdirs)
+    runner = JobRunner(coll, job_root) if job_root else None
+    srv = make_server(coll, port, runner=runner)
     try:
         srv.serve_forever()
     finally:

@@ -73,10 +73,19 @@ def build_sitemap_dataset(resources_dir: str):
         return batch.append_column("key", key).append_column("final_rank", final_rank)
 
     ds = ds.map_batches(add_key, batch_format="pyarrow")
-    # fixed sort-partition count: the input is many small per-epoch
-    # files; without coalescing, sort fan-out grows with cluster size
-    # and small-data sorts drown in partition overhead
-    ds = ds.repartition(8)
+    # sort-partition count scales with the resources volume (~64 MB a
+    # partition), floored at 8: the input is many small per-epoch
+    # files, and without coalescing sort fan-out grows with cluster
+    # size while small-data sorts drown in partition overhead — but a
+    # FIXED 8 caps finalize parallelism on a big crawl
+    import glob as _glob
+    import os as _os
+
+    nbytes = sum(
+        _os.path.getsize(p)
+        for p in _glob.glob(f"{resources_dir}/**/*.parquet", recursive=True)
+    )
+    ds = ds.repartition(min(64, max(8, nbytes // (64 << 20) + 1)))
     return ds.sort(["key", "epoch", "seq", "final_rank"])
 
 

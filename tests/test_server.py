@@ -284,3 +284,43 @@ def test_post_jobs_submits_runs_and_publishes(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_post_jobs_failure_surfaces_as_status(tmp_path):
+    """A job whose crawl raises lands in status=failed with the error
+    string served by GET /jobs/{id} — not a dead worker."""
+    import threading
+    import time
+
+    from walk_ray.server import JobRunner
+
+    bad = tmp_path / "bad.parquet"
+    bad.write_bytes(b"not a parquet file")
+    coll = Collection([])
+    runner = JobRunner(coll, str(tmp_path / "walks"))
+    srv = make_server(coll, 0, runner=runner)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        code, body = _post_json(base + "/jobs", {
+            "id": "boom", "job": {"seeds": ["http://x.test/"]},
+            "pages": str(bad), "meta": str(bad),
+        })
+        assert code == 200
+        deadline = time.monotonic() + 60
+        st = None
+        while time.monotonic() < deadline:
+            st = runner.status("boom")["status"]
+            if st in ("done", "failed"):
+                break
+            time.sleep(0.25)
+        assert st == "failed"
+        _, j = _get_json(base + "/jobs/boom")
+        assert j["data"]["status"] == "failed" and j["data"]["error"]
+        # the worker survives: a valid follow-up submission still runs
+        assert runner._worker.is_alive()
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text.lang_id,
         "text_fingerprint": text.text_fingerprint,
         "winnow_fingerprints": text.winnow_fingerprints,  # rows-only (rolling-hash selection; pytest-pinned)
+        "tfidf_scores": text.tfidf_scores,
+        "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=5),
+        "hash_split": text.hash_split,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
@@ -284,6 +287,47 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'en' END AS pred_lang
             FROM counts""",
         "text_fingerprint": "SELECT doc_id, md5(text) AS fp_md5 FROM documents",
+        "tfidf_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, w AS term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+                      WHERE text IS NOT NULL AND trim(text) <> '')
+                GROUP BY doc_id, w
+            ), dfreq AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n FROM documents)
+            SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+                   CAST(d.df AS BIGINT) AS df,
+                   ROUND(t.tf * LN(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+            FROM toks t JOIN dfreq d USING (term), n""",
+        "tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, w AS term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+                      WHERE text IS NOT NULL AND trim(text) <> '')
+                GROUP BY doc_id, w
+            ), dfreq AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+            ), n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term,
+                       ROUND(t.tf * LN(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+                FROM toks t JOIN dfreq d USING (term), n
+            ), ranked AS (
+                SELECT doc_id, term, tfidf, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5""",
+        "hash_split": """
+            SELECT doc_id, CASE
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < 900000 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+            FROM documents""",
         "exact_dedup": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS doc_id,

@@ -178,6 +178,8 @@ def _bench_queries() -> dict:
     run("top_parts_by_revenue", lambda: relational.top_parts_by_revenue(SF_DIR))
     run("token_stats", lambda: text.token_stats(SF_DIR))
     run("quality_scores", lambda: text.quality_scores(SF_DIR))
+    run("tfidf_top_terms", lambda: text.tfidf_top_terms(SF_DIR))
+    run("hash_split", lambda: text.hash_split(SF_DIR))
     run("exact_dedup", lambda: dedup.exact_dedup(SF_DIR))
     run("minhash_lsh_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR, ngram=3, threshold=0.5))
     run("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))

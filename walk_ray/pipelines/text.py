@@ -26,6 +26,9 @@ __all__ = [
     "text_fingerprint",
     "winnow_doc",
     "winnow_fingerprints",
+    "tfidf_scores",
+    "tfidf_top_terms",
+    "hash_split",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -227,3 +230,143 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
             return out
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(Winnow(), batch_format="pandas")
+
+
+# --- tf-idf -----------------------------------------------------------
+
+def _term_rows(batch: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
+    """Explode docs to (doc_id, term, tf) rows, bucketed by hash(term)
+    — one vectorized pandas groupby per batch, no per-token Python."""
+    from zlib import crc32
+
+    import numpy as np
+
+    ids, terms = [], []
+    for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+        toks = t.split()
+        ids.extend([d] * len(toks))
+        terms.extend(toks)
+    if not ids:
+        return pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"),
+             "term": pd.Series([], dtype="object"),
+             "tf": pd.Series([], dtype="int64"),
+             "tbucket": pd.Series([], dtype="int64")})
+    df = (
+        pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "term": terms})
+        .groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
+    )
+    uniq = df["term"].unique()
+    bmap = {t: crc32(t.encode()) % n_buckets for t in uniq}
+    df["tbucket"] = df["term"].map(bmap).astype("int64")
+    return df
+
+
+def tfidf_scores(sf_dir: str, n_buckets: int = 64):
+    """Corpus tf-idf: one row per (doc, term) with ``tf``, ``df`` and
+    ``tfidf = round(tf * ln(N / df), 6)`` (N = corpus size, whitespace
+    tokens, exact-match terms).
+
+    100-TB shape: term rows co-partition by ``hash(term)`` in ONE
+    bucket exchange — every occurrence of a term lands in the same
+    bucket, so document frequency and the idf join both complete
+    locally inside the bucket. No vocabulary broadcast, no driver
+    state; the only wide step moves (doc_id, term, tf) rows once.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import bucket_exchange
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = docs.count()
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()),
+        ("tf", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64()),
+    ])
+
+    def score_bucket(_b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return schema.empty_table()
+        df = t.select(["doc_id", "term", "tf"]).to_pandas()
+        counts = df.groupby("term", sort=False)["doc_id"].nunique()
+        dfreq = df["term"].map(counts).astype("int64")
+        tfidf = np.round(df["tf"].to_numpy() * np.log(n_docs / dfreq.to_numpy()), 6)
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"], "term": df["term"], "tf": df["tf"],
+             "df": dfreq, "tfidf": tfidf})
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    rows = docs.map_batches(
+        lambda b: _term_rows(b, n_buckets), batch_format="pandas")
+    return bucket_exchange([(rows, "tbucket")], n_buckets, score_bucket)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int = 64):
+    """Top-``k`` terms per document by tf-idf (rank 1..k; ties break on
+    term ascending, ordering on the ROUNDED score so the ranking is
+    engine-independent). Second co-partition by ``hash(doc_id)`` — all
+    of a doc's terms meet in one bucket for the vectorized top-k."""
+    import pyarrow as pa
+
+    from ..stages.exchange import bucket_exchange
+
+    scores = tfidf_scores(sf_dir, n_buckets)
+
+    def add_dbucket(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["dbucket"] = batch["doc_id"].to_numpy() % n_buckets
+        return batch
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("term", pa.string()),
+        ("tfidf", pa.float64()), ("rank", pa.int64()),
+    ])
+
+    def topk_bucket(_b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return schema.empty_table()
+        df = t.select(["doc_id", "term", "tfidf"]).to_pandas()
+        df = df.sort_values(["doc_id", "tfidf", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
+        out = df[df["rank"] <= k].reset_index(drop=True)
+        out["rank"] = out["rank"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+
+    rows = scores.map_batches(add_dbucket, batch_format="pandas")
+    return bucket_exchange([(rows, "dbucket")], n_buckets, topk_bucket)
+
+
+# --- deterministic split ----------------------------------------------
+
+def hash_split(sf_dir: str, weights=(("train", 0.9), ("val", 0.05), ("test", 0.05)),
+               key: str = "doc_id"):
+    """Deterministic train/val/test assignment: split by
+    ``md5(str(key)) % 1e6`` against cumulative weight boundaries —
+    stable across runs, machines and shard counts (the property a
+    training-data split must have; a random split resplits on every
+    re-run). Pure map, no shuffle."""
+    import hashlib as _hl
+
+    import ray.data as rd
+
+    bounds = []
+    acc = 0.0
+    for name, w in weights:
+        acc += w
+        bounds.append((name, int(round(acc * 1_000_000))))
+    assert bounds[-1][1] == 1_000_000, "weights must sum to 1"
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        splits = []
+        for v in batch[key]:
+            h = int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
+            for name, hi in bounds:
+                if h < hi:
+                    splits.append(name)
+                    break
+        return pd.DataFrame({key: batch[key], "split": splits})
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[key]).map_batches(
+        assign, batch_format="pandas")

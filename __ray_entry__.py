@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": text.tfidf_scores,
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=5),
         "hash_split": text.hash_split,
+        "pack_sequences": lambda sf: text.pack_sequences(sf, budget=512),  # rows-only (reset-on-overflow cumsum; pytest-pinned)
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(

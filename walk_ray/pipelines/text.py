@@ -29,6 +29,7 @@ __all__ = [
     "tfidf_scores",
     "tfidf_top_terms",
     "hash_split",
+    "pack_sequences",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -370,3 +371,70 @@ def hash_split(sf_dir: str, weights=(("train", 0.9), ("val", 0.05), ("test", 0.0
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[key]).map_batches(
         assign, batch_format="pandas")
+
+
+# --- sequence packing ---------------------------------------------------
+
+def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 64):
+    """Greedy next-fit packing of documents into fixed token budgets —
+    the batch-assembly stage of a training-data pipeline (docs
+    concatenate into ~budget-token training sequences).
+
+    Deterministic and shard-independent: docs pack in doc_id order
+    WITHIN their hash bucket (bucket = doc_id % n_buckets), and bin
+    ids are (bucket << 32) | bucket-local index, so output is a pure
+    function of the corpus. A doc longer than the budget occupies a
+    single-doc bin (truncation is the trainer's decision, not the
+    packer's). Packing is inherently sequential per bin stream, so the
+    parallel unit is the bucket: the only wide step moves skinny
+    (doc_id, n_tokens) rows once; the per-bucket loop is over DOCS,
+    not tokens. Output: one row per doc (doc_id, n_tokens, bin_id,
+    bin_tokens), where bin_tokens is the bin's final fill.
+
+    Not SQL-expressible (running reset-on-overflow cumsum) → rows-only
+    driver check; pinned against a pure-python reference in pytest.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.exchange import bucket_exchange
+
+    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {"doc_id": ids,
+             "n_tokens": batch["text"].fillna("").str.count(r"\S+").astype("int64"),
+             "bucket": ids % n_buckets})
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+        ("bin_id", pa.int64()), ("bin_tokens", pa.int64()),
+    ])
+
+    def pack_bucket(b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return schema.empty_table()
+        df = t.select(["doc_id", "n_tokens"]).to_pandas().sort_values("doc_id")
+        ids = df["doc_id"].to_numpy()
+        toks = df["n_tokens"].to_numpy()
+        bin_idx = np.empty(len(ids), dtype=np.int64)
+        fill, cur = 0, 0
+        fills = []
+        for i, n in enumerate(toks):
+            if fill and fill + n > budget:
+                fills.append(fill)
+                cur += 1
+                fill = 0
+            bin_idx[i] = cur
+            fill += int(n)
+        fills.append(fill)
+        fills_arr = np.asarray(fills, dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "bin_id": pa.array((b << 32) | bin_idx, pa.int64()),
+            "bin_tokens": pa.array(fills_arr[bin_idx], pa.int64()),
+        })
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pandas")
+    return bucket_exchange([(rows, "bucket")], n_buckets, pack_bucket)

@@ -76,3 +76,19 @@ def test_recovery_disabled_fails_fast(tmp_path, monkeypatch):
     # the propagated error is exactly the distributed-state-loss class
     # the recovery path keys on — nothing else was swallowed
     assert _is_distributed_state_loss(ei.value)
+
+
+@pytest.mark.parametrize("kind", ["seen", "store"])
+@pytest.mark.usefixtures("ray_session")
+def test_other_shard_kinds_recover(tmp_path, monkeypatch, kind):
+    """Seen-shard and page-store deaths take the same recovery path as
+    frontier loss (the classifier keys on the error class, not the
+    actor kind) and replay byte-identically from the checkpoint."""
+    gen = generate_pages("qri_io_shaped", str(tmp_path / "gen"), seed=42)
+    ref = _mk(gen, str(tmp_path / "ref"), checkpoint_every=1).run()
+
+    monkeypatch.setenv("WALK_RAY_CHAOS_KILL", f"2:0:{kind}")
+    rec = _mk(gen, str(tmp_path / f"chaos_{kind}"), checkpoint_every=1).run()
+    assert rec["recoveries"] == 1
+    assert _seen(rec) == _seen(ref)
+    assert _order(rec) == _order(ref)

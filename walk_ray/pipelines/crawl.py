@@ -752,13 +752,16 @@ class CrawlJob:
         stopping = False
         debug = bool(os.environ.get("WALK_RAY_EPOCH_DEBUG"))
         # deterministic chaos hook for the recovery tests: kill one
-        # frontier shard at the start of epoch E ("E:shard_idx")
+        # state shard at the start of epoch E — "E:idx[:kind]", kind ∈
+        # frontier (default) | seen | store
         chaos = os.environ.get("WALK_RAY_CHAOS_KILL", "")
         while True:
             if chaos and not self._chaos_fired and epoch >= int(chaos.split(":")[0]):
                 self._chaos_fired = True
-                idx = int(chaos.split(":")[1]) % len(self.frontier)
-                ray.kill(self.frontier[idx], no_restart=True)
+                parts = chaos.split(":")
+                pool = {"frontier": self.frontier, "seen": self.seen,
+                        "store": self.stores}[parts[2] if len(parts) > 2 else "frontier"]
+                ray.kill(pool[int(parts[1]) % len(pool)], no_restart=True)
             t_epoch = time.monotonic()
             _marks = [("start", t_epoch)]
             def _mark(label):

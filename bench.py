@@ -280,8 +280,34 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats(name: str) -> None:
+    """Execute one queries() entry and print its Ray Data stage stats
+    (`ds.stats()`) — the per-stage wall/cpu/output evidence used to
+    tune batch sizes and shuffle shapes."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entry
+
+    fn = entry.queries()[name]
+    r = fn(SF_DIR)
+    if hasattr(r, "materialize"):
+        r = r.materialize()
+        print(r.stats())
+    else:
+        print(f"{name} returned {type(r).__name__} (no Dataset stats)")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats(sys.argv[sys.argv.index("--stats") + 1])
     else:
         print(json.dumps(run_once()))

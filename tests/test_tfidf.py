@@ -1,0 +1,40 @@
+"""tf-idf / hash-split invariants beyond the DuckDB oracle gate:
+shard-count independence (bucket count is a physical knob, not a
+semantic one) and split-fraction sanity."""
+
+import pytest
+
+from walk_ray.pipelines.text import hash_split, tfidf_scores, tfidf_top_terms
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sorted_df(ds, cols):
+    return ds.to_pandas().sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_shard_count_independent():
+    a = _sorted_df(tfidf_scores(SF, n_buckets=8), ["doc_id", "term"])
+    b = _sorted_df(tfidf_scores(SF, n_buckets=64), ["doc_id", "term"])
+    assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_topk_rank_contract():
+    out = tfidf_top_terms(SF, k=3, n_buckets=8).to_pandas()
+    per_doc = out.groupby("doc_id")["rank"].agg(["min", "max", "size"])
+    assert (per_doc["min"] == 1).all()
+    assert (per_doc["max"] <= 3).all()
+    assert (per_doc["size"] == per_doc["max"]).all()  # ranks are dense
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hash_split_fractions_and_stability():
+    a = hash_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = hash_split(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.8 < frac.get("train", 0) < 1.0
+    assert 0 < frac.get("val", 0) < 0.15
+    assert 0 < frac.get("test", 0) < 0.15

@@ -99,6 +99,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_brute_topk": lambda sf: similarity.ann_brute_topk(sf, ANN_QUERY_IDS, ANN_K),
         "ann_ivf_topk": lambda sf: similarity.ann_ivf_topk(sf, ANN_QUERY_IDS, ANN_K),  # rows-only
+        # IVF at nprobe == nlist probes every cell → must equal brute
+        # force exactly, so the brute SQL is a valid oracle for the
+        # whole index+probe machinery (the pruned variant above stays
+        # rows-only for the recall check)
+        "ann_ivf_topk_fullprobe": lambda sf: similarity.ann_ivf_topk(
+            sf, ANN_QUERY_IDS, ANN_K, nlist=16, nprobe=16
+        ),
         # --- multimodal plumbing (synthetic media, fake decoder) ---
         "media_features": lambda sf: multimodal.media_features(sf),  # rows-only
         "media_near_dup": lambda sf: multimodal.media_near_dup(sf),  # rows-only
@@ -119,6 +126,27 @@ WITH RECURSIVE reach(i) AS (
 
 _WORDS = "string_split_regex(trim(text), '\\s+')"
 _STOPLIST = "('the', 'a', 'of', 'and', 'to')"
+
+# Exact cosine top-k — the oracle for ann_brute_topk AND for
+# ann_ivf_topk_fullprobe (nprobe == nlist probes every cell, so the
+# IVF machinery must reproduce brute force exactly).
+_ANN_TOPK_SQL = f"""
+    WITH q AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})
+    ), sims AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])) AS c
+        FROM q, embeddings e WHERE e.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
+        FROM sims
+    ) WHERE rn <= {ANN_K}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -397,21 +425,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS vec_id, MIN(m) AS cluster_id
             FROM reach GROUP BY node ORDER BY vec_id""",
-        "ann_brute_topk": f"""
-            WITH q AS (
-                SELECT vec_id, embedding FROM embeddings
-                WHERE vec_id IN ({', '.join(str(i) for i in ANN_QUERY_IDS)})
-            ), sims AS (
-                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                              CAST(e.embedding AS DOUBLE[])) AS c
-                FROM q, embeddings e WHERE e.vec_id <> q.vec_id
-            )
-            SELECT query_id, neighbor_id, ROUND(c, 6) AS cosine,
-                   CAST(rn AS BIGINT) AS rank
-            FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rn
-                FROM sims
-            ) WHERE rn <= {ANN_K}""",
+        "ann_brute_topk": _ANN_TOPK_SQL,
+        # full-probe IVF must reproduce brute force bit-for-bit —
+        # same oracle on purpose
+        "ann_ivf_topk_fullprobe": _ANN_TOPK_SQL,
     }

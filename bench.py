@@ -294,7 +294,12 @@ def run_stats(name: str) -> None:
     DataContext.get_current().enable_progress_bars = False
     import __ray_entry__ as entry
 
-    fn = entry.queries()[name]
+    qs = entry.queries()
+    if name not in qs:
+        print(f"unknown query {name!r}; available: {', '.join(sorted(qs))}",
+              file=sys.stderr)
+        raise SystemExit(2)
+    fn = qs[name]
     r = fn(SF_DIR)
     if hasattr(r, "materialize"):
         r = r.materialize()
@@ -308,6 +313,10 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--stats" in sys.argv:
-        run_stats(sys.argv[sys.argv.index("--stats") + 1])
+        i = sys.argv.index("--stats") + 1
+        if i >= len(sys.argv):
+            print("usage: bench.py --stats <query-name>", file=sys.stderr)
+            raise SystemExit(2)
+        run_stats(sys.argv[i])
     else:
         print(json.dumps(run_once()))

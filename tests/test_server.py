@@ -250,8 +250,21 @@ def test_post_jobs_submits_runs_and_publishes(tmp_path):
             base + "/jobs", {"job": gen["job"], "pages": "/no/such", "meta": "/no/such"})
         assert code == 400 and "pages" in body["data"]["error"]
 
+        # ids that would escape job_root (or hide behind '/') are 400
+        # before any filesystem work (round-3 advisory)
+        # (an empty id is "no id" — the runner assigns a uuid instead)
+        for bad in ("../evil", "a/b", ".", "..", ".hidden", "x" * 65):
+            code, body = _post_json(base + "/jobs", {
+                "id": bad, "job": gen["job"],
+                "pages": gen["pages"], "meta": gen["pages_meta"],
+            })
+            assert code == 400 and "job id" in body["data"]["error"], bad
+
+        # physical knobs ride in the job body and reach the crawl config
+        job_body = dict(gen["job"], n_frontier_shards=2, n_seen_shards=2,
+                        checkpoint_every=2, sitemap_json=False)
         code, body = _post_json(base + "/jobs", {
-            "id": "svc1", "job": gen["job"],
+            "id": "svc1", "job": job_body,
             "pages": gen["pages"], "meta": gen["pages_meta"],
         })
         assert code == 200 and body["data"]["status"] in ("queued", "running")
@@ -281,6 +294,19 @@ def test_post_jobs_submits_runs_and_publishes(tmp_path):
         assert len(idx["data"]) > 0
         _, walks = _get_json(base + "/collection")
         assert walks["data"] == ["svc1"]
+
+        # the published walk's job.json records the submitted physical
+        # knobs — the job ran with them, not the server defaults
+        import json as _json
+
+        with open(tmp_path / "walks" / "svc1" / "job.json") as f:
+            jj = _json.load(f)
+        assert jj["n_frontier_shards"] == 2
+        assert jj["n_seen_shards"] == 2
+        assert jj["checkpoint_every"] == 2
+        assert jj["sitemap_json"] is False
+        # sitemap_json=False → distributed parquet sitemap, no JSON file
+        assert not (tmp_path / "walks" / "svc1" / "sitemap.json").exists()
     finally:
         srv.shutdown()
         srv.server_close()

@@ -38,3 +38,11 @@ def test_hash_split_fractions_and_stability():
     assert 0.8 < frac.get("train", 0) < 1.0
     assert 0 < frac.get("val", 0) < 0.15
     assert 0 < frac.get("test", 0) < 0.15
+
+
+def test_hash_split_bad_weights_raise():
+    """Weights that don't sum to 1 are a hard error (ValueError, not a
+    -O-strippable assert): a short last boundary would otherwise
+    silently drop rows (round-3 advisory)."""
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(SF, weights=(("train", 0.5), ("val", 0.25)))

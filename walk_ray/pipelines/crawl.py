@@ -170,6 +170,13 @@ class CrawlConfig:
             auto_recover=job.get("auto_recover", True),
             max_recoveries=job.get("max_recoveries", 3),
         )
+        # physical knobs ride in the same job body (a submitted job is
+        # sized for its cluster, not the server's defaults); explicit
+        # **overrides still win
+        for k in ("n_frontier_shards", "n_seen_shards", "checkpoint_every",
+                  "store_bodies", "sitemap_json", "max_pop_per_epoch"):
+            if k in job:
+                setattr(cfg, k, job[k])
         for k, v in overrides.items():
             setattr(cfg, k, v)
         return cfg

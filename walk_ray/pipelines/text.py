@@ -357,7 +357,11 @@ def hash_split(sf_dir: str, weights=(("train", 0.9), ("val", 0.05), ("test", 0.0
     for name, w in weights:
         acc += w
         bounds.append((name, int(round(acc * 1_000_000))))
-    assert bounds[-1][1] == 1_000_000, "weights must sum to 1"
+    if bounds[-1][1] != 1_000_000:
+        # not assert: stripped under -O, and a short last boundary
+        # would silently drop every row hashing past it
+        raise ValueError(f"split weights must sum to 1, got {acc}")
+    last_split = bounds[-1][0]
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         splits = []
@@ -367,6 +371,8 @@ def hash_split(sf_dir: str, weights=(("train", 0.9), ("val", 0.05), ("test", 0.0
                 if h < hi:
                     splits.append(name)
                     break
+            else:  # h == max boundary edge: always assign (never drop)
+                splits.append(last_split)
         return pd.DataFrame({key: batch[key], "split": splits})
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[key]).map_batches(

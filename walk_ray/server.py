@@ -45,6 +45,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import threading
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlsplit
@@ -71,8 +73,16 @@ class Collection:
     def __init__(self, workdirs: list[str]):
         self.walks: dict[str, dict] = {}
         self._index_cache: dict[str, object] = {}
+        # handler threads iterate walks while the job runner publishes
+        # into it; every read snapshots and every write holds this lock
+        # so a mid-request add_walk can't blow up the iteration
+        self._walks_lock = threading.Lock()
         for wd in workdirs:
             self.add_walk(wd)
+
+    def _snapshot(self) -> list[dict]:
+        with self._walks_lock:
+            return list(self.walks.values())
 
     def add_walk(self, wd: str) -> bool:
         """Register one crawl workdir (also used by the job runner to
@@ -88,20 +98,22 @@ class Collection:
             with open(job_path) as f:
                 job = json.load(f)
         bodies = os.path.join(wd, "bodies")
-        self.walks[wid] = {
-            "id": wid,
-            "workdir": wd,
-            "resources": res,
-            "bodies": bodies if os.path.isdir(bodies) else "",
-            "job": job,
-        }
-        self._index_cache.pop("", None)
+        with self._walks_lock:
+            self.walks[wid] = {
+                "id": wid,
+                "workdir": wd,
+                "resources": res,
+                "bodies": bodies if os.path.isdir(bodies) else "",
+                "job": job,
+            }
+            self._index_cache.pop("", None)
         return True
 
     # -- index ---------------------------------------------------------
 
     def walk_ids(self) -> list[str]:
-        return sorted(self.walks)
+        with self._walks_lock:
+            return sorted(self.walks)
 
     def _index_ds(self, walk_id: str | None):
         """SURT-sorted index Dataset for one walk or the collection,
@@ -110,16 +122,17 @@ class Collection:
         sort instead of re-sorting per hit. Mirrors walk loading
         ``index.cdxj`` once at open (lib/walk.go:42-64)."""
         key = walk_id or ""
-        ds = self._index_cache.get(key)
-        if ds is not None:
-            return ds
+        with self._walks_lock:
+            ds = self._index_cache.get(key)
+            if ds is not None:
+                return ds
+            dirs = (
+                [self.walks[walk_id]["resources"]]
+                if walk_id
+                else [w["resources"] for w in self.walks.values()]
+            )
         from .pipelines.query import build_index
 
-        dirs = (
-            [self.walks[walk_id]["resources"]]
-            if walk_id
-            else [w["resources"] for w in self.walks.values()]
-        )
         if not dirs:
             return None
         if len(dirs) == 1:
@@ -132,7 +145,8 @@ class Collection:
             for p in parts[1:]:
                 src = src.union(p)
         ds = build_index(src).materialize()
-        self._index_cache[key] = ds
+        with self._walks_lock:
+            self._index_cache[key] = ds
         return ds
 
     def sorted_index(self, walk_id: str | None, limit: int, offset: int) -> list[dict]:
@@ -156,25 +170,29 @@ class Collection:
                     with_body: bool = False) -> dict | None:
         from .pipelines.query import get_capture
 
-        dirs = [w["resources"] for w in self.walks.values()]
+        snap = self._snapshot()
+        dirs = [w["resources"] for w in snap]
         # every member walk's bodies store is searched — in a
         # multi-walk collection a capture's body may live in a
         # different walk's store than the one that indexed it
-        bodies = [w["bodies"] for w in self.walks.values() if w["bodies"]]
+        bodies = [w["bodies"] for w in snap if w["bodies"]]
         r = get_capture(dirs, url, at=at, resolve=resolve,
                         bodies_dir=bodies if with_body else "")
         return r
 
     def jobs(self) -> list[dict]:
+        with self._walks_lock:
+            items = sorted(self.walks.items())
         return [
             {"id": wid, **({"config": w["job"]} if w["job"] else {})}
-            for wid, w in sorted(self.walks.items())
+            for wid, w in items
         ]
 
     def job(self, walk_id: str) -> dict | None:
         """One walk's job entry (walk ``GET /jobs/{id}``,
         api/job_handlers.go:57-70); None for an unknown id."""
-        w = self.walks.get(walk_id)
+        with self._walks_lock:
+            w = self.walks.get(walk_id)
         if w is None:
             return None
         return {"id": walk_id, **({"config": w["job"]} if w["job"] else {})}
@@ -206,6 +224,12 @@ class JobRunner:
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
+    # the id becomes a path component under job_root; anything outside
+    # this alphabet ('/', '..', …) could escape it — and recovery
+    # rmtree's partial epoch dirs under the workdir, so an escaped id
+    # is a delete primitive, not just a bad URL
+    _ID_RE = re.compile(r"^[A-Za-z0-9_-][A-Za-z0-9._-]{0,63}$")
+
     def submit(self, body: dict) -> tuple[dict | None, str]:
         import uuid
 
@@ -213,11 +237,14 @@ class JobRunner:
         pages, meta = body.get("pages", ""), body.get("meta", "")
         if not isinstance(job, dict):
             return None, "body must carry a 'job' config object"
+        jid = str(body.get("id") or uuid.uuid4().hex[:8])
+        if not self._ID_RE.fullmatch(jid):
+            return None, ("invalid job id (allowed: [A-Za-z0-9._-], "
+                          "max 64 chars, no leading '.')")
         if not (pages and os.path.exists(pages)):
             return None, f"pages table not found: {pages!r}"
         if not (meta and os.path.exists(meta)):
             return None, f"meta table not found: {meta!r}"
-        jid = str(body.get("id") or uuid.uuid4().hex[:8])
         with self._lock:
             if jid in self.jobs or jid in self.collection.walks:
                 return None, f"job id already exists: {jid}"

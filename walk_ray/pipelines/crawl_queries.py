@@ -97,22 +97,31 @@ def crawl_sitemap_entries(sf_dir: str):
 
 def crawl_extract_text(sf_dir: str):
     """The per-row invariant surface: (url, title, text) as extracted
-    by the pipeline from raw HTML."""
+    by the pipeline from raw HTML. Stays a Dataset end to end — the
+    hop filter and projection run inside map_batches, never on the
+    driver."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
     res = docs_crawl(sf_dir)
-    ds = rd.read_parquet(res["resources_dir"], columns=["url", "title", "text", "is_hop"])
-    df = ds.to_pandas()
-    return df[~df["is_hop"]][["url", "title", "text"]].reset_index(drop=True)
+
+    def drop_hops(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["is_hop"])).select(["url", "title", "text"])
+
+    return rd.read_parquet(
+        res["resources_dir"], columns=["url", "title", "text", "is_hop"]
+    ).map_batches(drop_hops, batch_format="pyarrow")
 
 
 def crawl_index_surt(sf_dir: str):
-    """SURT index projection (surt_url, url, status)."""
+    """SURT index projection (surt_url, url, status) — a column prune
+    on the index Dataset, no driver materialization."""
     from .query import build_index
 
     res = docs_crawl(sf_dir)
-    df = build_index(res["resources_dir"]).to_pandas()
-    return df[["surt_url", "url", "status"]]
+    return build_index(res["resources_dir"]).select_columns(
+        ["surt_url", "url", "status"])
 
 
 def crawl_inbound_links(sf_dir: str, target: str = "http://docs.test/doc/0"):
@@ -126,13 +135,19 @@ def crawl_inbound_links(sf_dir: str, target: str = "http://docs.test/doc/0"):
 def crawl_link_graph(sf_dir: str):
     """Inverted link graph over the crawl (J5 generalization /
     A7 inbound counts): (dst, n_inbound) — SQL twin: the reach CTE's
-    link arithmetic grouped by target."""
+    link arithmetic grouped by target. The int64 cast + projection
+    run per batch; the result stays a Dataset."""
+    import pyarrow as pa
     from .query import link_graph
 
     res = docs_crawl(sf_dir)
-    df = link_graph(res["resources_dir"]).to_pandas()
-    df["n_inbound"] = df["n_inbound"].astype("int64")
-    return df[["dst", "n_inbound"]].sort_values("dst").reset_index(drop=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["dst", "n_inbound"]).cast(
+            pa.schema([("dst", pa.string()), ("n_inbound", pa.int64())]))
+
+    return link_graph(res["resources_dir"]).map_batches(
+        project, batch_format="pyarrow").sort("dst")
 
 
 def crawl_timespan(sf_dir: str):

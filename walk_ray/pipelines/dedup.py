@@ -541,17 +541,23 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
             ids = doc_arr[lo:hi]
             band = int(band_arr[lo])
             hs = hs_arr[lo:hi]
-            for i in range(len(ids)):
-                x = hs[i] ^ hs[i + 1 :]
-                d = np.array([bin(int(v)).count("1") for v in x])
-                for h in np.nonzero(d <= max_hamming)[0]:
-                    xv = int(x[h])
-                    first = next(b for b in range(4) if (xv >> (16 * b)) & 0xFFFF == 0)
-                    if first != band:
-                        continue
-                    out["a"].append(int(ids[i]))
-                    out["b"].append(int(ids[i + 1 + h]))
-                    out["hamming"].append(int(d[h]))
+            # all i<j pairs of the bucket at once: XOR → byte view →
+            # unpackbits popcount (no per-pair Python)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            xv = np.ascontiguousarray(hs[iu] ^ hs[ju])
+            d = np.unpackbits(xv.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+            close = d <= max_hamming
+            if not close.any():
+                continue
+            xv, d, iu, ju = xv[close], d[close], iu[close], ju[close]
+            # ownership: emit only in the FIRST band whose 16-bit chunk
+            # matches (≤3 diffs over 4 bands guarantees one exists)
+            zero = np.stack([(xv >> np.uint64(16 * b)) & np.uint64(0xFFFF) == 0
+                             for b in range(4)])
+            keep = zero.argmax(axis=0) == band
+            out["a"].extend(ids[iu[keep]].tolist())
+            out["b"].extend(ids[ju[keep]].tolist())
+            out["hamming"].extend(d[keep].tolist())
         return pd.DataFrame(out) if out["a"] else empty
 
     ham_schema = pa.schema(

@@ -31,6 +31,16 @@ def entry() -> Any:
     return crawl_sitemap_entries("/root/testdata/sf0.001")
 
 
+def _orders_by_nation_native(sf_dir: str):
+    import ray
+
+    from walk_ray.pipelines import relational
+
+    ncpu = int(ray.cluster_resources().get("CPU", 4))
+    return relational.orders_by_nation_shuffle(
+        sf_dir, engine="native", n_buckets=max(2, min(8, ncpu // 2)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from walk_ray.pipelines import crawl_queries as cq
     from walk_ray.pipelines import dedup, multimodal, relational, similarity, text
@@ -51,6 +61,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # same result via the partitioned hash join (no-broadcast path
         # for large dimension sides) — same oracle SQL
         "orders_by_nation_shuffle": relational.orders_by_nation_shuffle,
+        # the same join through Ray's native Dataset.join (Ray >= 2.46)
+        # — CI-gates the native path end to end; hash_join's version
+        # guard falls back to the bucketed engine (same semantics) on
+        # older Ray, so this entry is green either way. Partition count
+        # scales with the cluster: each native aggregator pins 0.5 CPU,
+        # so at most half the CPUs go to aggregators (the other half
+        # keeps map tasks runnable — all-aggregator = deadlock).
+        "orders_by_nation_shuffle_native": _orders_by_nation_native,
         "top_parts_by_revenue": relational.top_parts_by_revenue,
         "events_tumbling_window": relational.events_tumbling_window,
         "events_hopping_window": relational.events_hopping_window,
@@ -67,9 +85,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_scores": text.tfidf_scores,
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=5),
         "hash_split": text.hash_split,
+        # stratified corpus balancing: en downsampled to 30%, every
+        # other stratum to 70% (md5-threshold rule, pure map)
+        "stratified_sample": text.stratified_sample,
         "pack_sequences": lambda sf: text.pack_sequences(sf, budget=512),  # rows-only (reset-on-overflow cumsum; pytest-pinned)
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
+        # duplicate RESOLUTION policy: keep the highest-quality copy
+        # per exact-dup cluster (tie -> min doc_id), not an arbitrary one
+        "dedup_keep_best": dedup.dedup_keep_best,
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
             sf, n=1, threshold=JACCARD_THRESHOLD, exact=True
         ),
@@ -207,6 +231,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus""",
         "orders_by_nation_shuffle": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 4) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "orders_by_nation_shuffle_native": """
             SELECT n.n_name,
                    COUNT(*) AS n_orders,
                    ROUND(SUM(o.o_totalprice), 4) AS total_price
@@ -357,6 +389,27 @@ def oracle_sql() -> dict[str, str]:
                      AS BIGINT) % 1000000 < 950000 THEN 'val'
                 ELSE 'test' END AS split
             FROM documents""",
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 1000000
+                  < CASE WHEN lang = 'en' THEN 300000 ELSE 700000 END""",
+        "dedup_keep_best": f"""
+            WITH scored AS (
+                SELECT md5(text) AS text_hash, doc_id,
+                       ROUND(LEAST(CAST(len({_WORDS}) AS DOUBLE) / 100, 1.0)
+                             * (1 - ROUND(CAST(len(list_filter({_WORDS},
+                                       w -> w IN {_STOPLIST})) AS DOUBLE)
+                                  / GREATEST(len({_WORDS}), 1), 6)), 6) AS quality
+                FROM documents
+            )
+            SELECT text_hash, doc_id, quality, n_copies FROM (
+                SELECT text_hash, doc_id, quality,
+                       COUNT(*) OVER (PARTITION BY text_hash) AS n_copies,
+                       ROW_NUMBER() OVER (PARTITION BY text_hash
+                           ORDER BY quality DESC, doc_id) AS rn
+                FROM scored
+            ) WHERE rn = 1""",
         "exact_dedup": """
             SELECT md5(text) AS text_hash,
                    MIN(doc_id) AS doc_id,

@@ -264,3 +264,36 @@ def test_decode_stage_real_decoder_drop_in():
     assert len(bad) >= 1  # the generator makes some payloads < 800B
     assert all(list(f) == [0.0] * DecodeStage.FEATURE_DIM for f in bad["features"])
     assert out["decode_ok"].sum() == 48 - len(bad)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_keep_best_picks_highest_quality_copy():
+    """The kept doc per cluster is the max-quality copy (tie -> min
+    doc_id), verified against a pandas recomputation, and the result
+    is batch-size independent (partial argmax is associative)."""
+    from walk_ray.pipelines.dedup import dedup_keep_best
+    from walk_ray.pipelines.text import quality_of
+
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = dedup_keep_best(sf).to_pandas().sort_values("text_hash").reset_index(drop=True)
+    docs = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    docs["text_hash"] = [hashlib.md5((t or "").encode()).hexdigest() for t in docs["text"]]
+    docs["quality"] = quality_of(docs["text"].fillna(""))
+    want = (docs.sort_values(["text_hash", "quality", "doc_id"],
+                             ascending=[True, False, True], kind="mergesort")
+            .drop_duplicates("text_hash"))
+    want = want.merge(docs.groupby("text_hash").size().rename("n_copies"),
+                      on="text_hash")
+    want = want[["text_hash", "doc_id", "quality", "n_copies"]] \
+        .sort_values("text_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["text_hash", "doc_id", "quality", "n_copies"]],
+        want.astype({"n_copies": "int64"}))
+    # bucket count is a physical knob, not a semantic one
+    out2 = dedup_keep_best(sf, n_buckets=7).to_pandas() \
+        .sort_values("text_hash").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)

@@ -46,3 +46,28 @@ def test_hash_split_bad_weights_raise():
     silently drop rows (round-3 advisory)."""
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(SF, weights=(("train", 0.5), ("val", 0.25)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stratified_sample_rates_and_determinism():
+    """Per-stratum survival tracks the configured ppm rates; the
+    sample is a pure function of the corpus (identical across runs);
+    a row's fate is independent of other rows (the sample of a
+    half-corpus equals the matching subset of the full sample)."""
+    from walk_ray.pipelines.text import stratified_sample
+
+    a = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = stratified_sample(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "lang"]).to_pandas()
+    full = docs["lang"].value_counts()
+    kept = a["lang"].value_counts()
+    # en at 30% +- sampling noise, everything else at 70%
+    assert 0.15 < kept.get("en", 0) / full["en"] < 0.45
+    for lang in full.index.drop("en"):
+        assert 0.5 < kept.get(lang, 0) / full[lang] < 0.9, lang
+    # independence: restricting the corpus doesn't change any row's fate
+    sub = set(docs["doc_id"][docs["doc_id"] % 2 == 0])
+    assert set(a["doc_id"]) & sub == {d for d in a["doc_id"] if d in sub}

@@ -94,6 +94,64 @@ def exact_dedup(sf_dir: str):
     )
 
 
+def dedup_keep_best(sf_dir: str, n_buckets: int = 64):
+    """Quality-aware duplicate resolution: per exact-duplicate cluster
+    (cluster = md5(text)) keep the copy with the HIGHEST quality score
+    (tie → min doc_id) — the policy stage of a training-data dedup,
+    which keeps the best copy rather than an arbitrary one. Output one
+    row per distinct content: (text_hash, doc_id, quality, n_copies).
+
+    Scale shape: hash + quality score are vectorized per batch and the
+    batch immediately reduces to its per-hash best (partial argmax +
+    partial count), so the wide step moves at most one skinny row per
+    (batch, hash). ONE bucket exchange by hash(text_hash) then
+    completes argmax and count locally per bucket."""
+    from zlib import crc32
+
+    from ..stages.exchange import bucket_exchange
+    from .text import quality_of
+
+    schema = pa.schema([
+        ("text_hash", pa.string()), ("doc_id", pa.int64()),
+        ("quality", pa.float64()), ("n_copies", pa.int64()),
+    ])
+
+    def _best(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-hash argmax(quality, tie min doc_id) + copy count;
+        n_copies sums partial counts when present."""
+        counts = (df.groupby("text_hash", sort=False)["n_copies"].sum()
+                  if "n_copies" in df.columns
+                  else df.groupby("text_hash", sort=False).size())
+        df = df.sort_values(["text_hash", "quality", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        best = df.drop_duplicates("text_hash", keep="first")
+        out = best[["text_hash", "doc_id", "quality"]].copy()
+        out["n_copies"] = out["text_hash"].map(counts).astype("int64")
+        return out
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        df = pd.DataFrame({
+            "text_hash": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+            "doc_id": batch["doc_id"].astype("int64"),
+            "quality": quality_of(texts),
+        })
+        out = _best(df)
+        out["bucket"] = [crc32(h.encode()) % n_buckets for h in out["text_hash"]]
+        return out
+
+    def finish(_b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return schema.empty_table()
+        out = _best(t.to_pandas())
+        return pa.Table.from_pandas(
+            out[["text_hash", "doc_id", "quality", "n_copies"]],
+            preserve_index=False).cast(schema)
+
+    rows = _docs(sf_dir).map_batches(partial, batch_format="pandas")
+    return bucket_exchange([(rows, "bucket")], n_buckets, finish)
+
+
 # -------------------------------------------------------------- minhash
 
 def _word_ngrams(words: list[str], n: int) -> list[str]:

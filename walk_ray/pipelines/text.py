@@ -88,6 +88,24 @@ def token_stats(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
 
 
+# a stopword is a whole whitespace token equal to one of STOPWORDS:
+# anchor on start-or-whitespace (consumed) and whitespace-or-end
+# (lookahead, so adjacent stopwords separated by one space both match)
+_STOP_RE = re.compile(
+    r"(?:^|\s)(?:" + "|".join(re.escape(w) for w in STOPWORDS) + r")(?=\s|$)"
+)
+
+
+def quality_of(texts: pd.Series) -> pd.Series:
+    """The clamped linear quality score used across the pipeline
+    (also by dedup's keep-best policy): ``least(1, n_words/100) *
+    (1 - stop_ratio)``, rounded to 6 dp. Vectorized regex scans."""
+    n_words = texts.str.count(r"\S+").astype("int64")
+    n_stop = texts.str.count(_STOP_RE).astype("int64")
+    stop_ratio = (n_stop / n_words.clip(lower=1)).round(6)
+    return ((n_words / 100).clip(upper=1.0) * (1 - stop_ratio)).round(6)
+
+
 def quality_scores(sf_dir: str):
     """Quality heuristics: length, word count, mean word length,
     stopword ratio, and a clamped linear score
@@ -95,13 +113,7 @@ def quality_scores(sf_dir: str):
 
     class Scorer:
         def __init__(self):
-            # a stopword is a whole whitespace token equal to one of
-            # STOPWORDS: anchor on start-or-whitespace (consumed) and
-            # whitespace-or-end (lookahead, so adjacent stopwords
-            # separated by one space still both match)
-            self.stop_re = re.compile(
-                r"(?:^|\s)(?:" + "|".join(re.escape(w) for w in STOPWORDS) + r")(?=\s|$)"
-            )
+            self.stop_re = _STOP_RE
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             texts = batch["text"].fillna("")
@@ -407,6 +419,38 @@ def hash_split(sf_dir: str, weights=(("train", 0.9), ("val", 0.05), ("test", 0.0
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[key]).map_batches(
         assign, batch_format="pandas")
+
+
+def stratified_sample(sf_dir: str,
+                      rates=(("en", 300_000),),
+                      default_rate: int = 700_000,
+                      key: str = "doc_id", stratum: str = "lang"):
+    """Deterministic stratified downsampling — the corpus-balancing
+    stage of a training-data pipeline (e.g. shrink an over-represented
+    language without touching the long tail). A row survives iff
+    ``md5(str(key)) % 1e6 < rate[stratum]`` (rates in parts-per-
+    million), so the sample is a pure function of the corpus: stable
+    across runs, machines and shard counts, and a row's fate never
+    depends on any other row. Pure map, no shuffle, columns pruned at
+    the read."""
+    import hashlib as _hl
+
+    import numpy as np
+    import ray.data as rd
+
+    rate_map = dict(rates)
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
+             for v in batch[key]),
+            dtype=np.int64, count=len(batch))
+        caps = batch[stratum].map(rate_map).fillna(default_rate).to_numpy(dtype=np.int64)
+        return batch[h < caps]
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=[key, stratum]).map_batches(
+        keep, batch_format="pandas")
 
 
 # --- sequence packing ---------------------------------------------------

@@ -20,8 +20,8 @@ global crawl order is ``(epoch, fetch_after, parent_seq, link_idx)``.
 from __future__ import annotations
 
 import os
-from collections import deque
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -45,19 +45,29 @@ _CKPT_SCHEMA = pa.schema(
 
 class FrontierShard:
     """One frontier shard (plain class; the driver wraps it in
-    ``ray.remote``)."""
+    ``ray.remote``).
+
+    Internals are COLUMNAR: per-host queues are lists of Arrow table
+    segments (zero-copy slices of pushed/sorted batches), so push,
+    drain, pop and checkpoint are all array ops — no per-row Python
+    tuples anywhere in the epoch hot path. Pop counts per host come
+    from the politeness arithmetic in O(1); ``fetch_after`` values are
+    a sequential ``np.cumsum`` so they are bit-identical to the
+    accumulated ``t += step`` loop they replaced (crawl-order goldens
+    depend on exact float equality)."""
 
     def __init__(self, shard_id: int = 0, delay_sec: float = 0.0, robots_handles=None):
         self.shard_id = shard_id
         self.delay = float(delay_sec)
-        self.queues: dict[str, deque] = {}      # host -> deque of entry tuples
+        self.queues: dict[str, list[pa.Table]] = {}  # host -> table segments
+        self.qlen: dict[str, int] = {}          # host -> queued entry count
         self.host_next: dict[str, float] = {}   # host -> next allowed virtual fetch time
         self.host_delay: dict[str, float] = {}  # host -> extra backoff delay (429/5xx)
         # host -> robots Crawl-delay base (lazily resolved from the
         # robots cache shards on first pop of the host; polite mode)
         self.host_base: dict[str, float] = {}
         self.robots = robots_handles or []
-        self.buffer: list[tuple] = []           # un-sorted arrivals since last pop
+        self.buffer: list[pa.Table] = []        # un-sorted arrivals since last pop
         self.total = 0
 
     def _resolve_robots_delays(self) -> None:
@@ -86,53 +96,112 @@ class FrontierShard:
 
     def push(self, rows: dict) -> int:
         """Accept a batch of frontier entries (dict of equal-length
-        lists keyed by FRONTIER_COLS)."""
+        lists keyed by FRONTIER_COLS) — one vectorized Arrow encode,
+        no per-row work."""
         n = len(rows["url"])
-        self.buffer.extend(zip(*(rows[c] for c in FRONTIER_COLS)))
-        self.total += n
+        if n:
+            self.buffer.append(pa.table(
+                {c: pa.array(rows[c], _CKPT_SCHEMA.field(c).type) for c in FRONTIER_COLS},
+                schema=_CKPT_SCHEMA,
+            ))
+            self.total += n
         return n
 
     def _drain_buffer(self) -> None:
         if not self.buffer:
             return
-        # Canonical discovery order within the arrival window.
-        self.buffer.sort(key=lambda e: (e[5], e[6], e[7]))
-        for e in self.buffer:
-            self.queues.setdefault(e[1], deque()).append(e)
+        # Canonical discovery order within the arrival window: one
+        # multi-key Arrow sort, then zero-copy per-host slices appended
+        # as queue segments (existing queued entries stay ahead).
+        t = pa.concat_tables(self.buffer)
         self.buffer.clear()
+        t = t.sort_by([("host", "ascending"), ("epoch", "ascending"),
+                       ("parent_seq", "ascending"), ("link_idx", "ascending")])
+        t = t.combine_chunks()
+        hosts = t["host"].to_numpy(zero_copy_only=False)
+        bounds = np.flatnonzero(np.r_[True, hosts[1:] != hosts[:-1], True])
+        for i in range(len(bounds) - 1):
+            lo, hi = int(bounds[i]), int(bounds[i + 1])
+            host = hosts[lo]
+            self.queues.setdefault(host, []).append(t.slice(lo, hi - lo))
+            self.qlen[host] = self.qlen.get(host, 0) + (hi - lo)
 
     # -- consumer ------------------------------------------------------
 
-    def pop_ready(self, now: float, horizon: float, max_total: int = 1 << 30) -> dict:
+    def _pop_table(self, now: float, horizon: float, max_total: int) -> pa.Table:
         """Pop every entry whose politeness slot falls inside
-        ``[now, now + horizon)``, assigning each its virtual
-        ``fetch_after``. Hosts are visited in sorted order for
-        determinism."""
+        ``[now, now + horizon)`` as ONE Arrow table with an appended
+        ``fetch_after`` column. Hosts are visited in sorted order for
+        determinism; per-host pop counts come from the pacing
+        arithmetic, rows move as table slices."""
         self._drain_buffer()
         self._resolve_robots_delays()
-        out = {c: [] for c in FRONTIER_COLS}
-        out["fetch_after"] = []
         deadline = now + horizon
-        popped = 0
+        budget = max_total
+        taken: list[pa.Table] = []
+        fas: list[np.ndarray] = []
         empty_hosts = []
         for host in sorted(self.queues):
-            q = self.queues[host]
-            t = max(self.host_next.get(host, 0.0), now)
-            step = max(self.delay, self.host_base.get(host, 0.0))                 + self.host_delay.get(host, 0.0)
-            while q and t < deadline and popped < max_total:
-                e = q.popleft()
-                for c, v in zip(FRONTIER_COLS, e):
-                    out[c].append(v)
-                out["fetch_after"].append(t)
-                t += step
-                popped += 1
-            self.host_next[host] = t
-            if not q:
+            t0 = max(self.host_next.get(host, 0.0), now)
+            step = max(self.delay, self.host_base.get(host, 0.0)) \
+                + self.host_delay.get(host, 0.0)
+            qn = self.qlen[host]
+            if budget <= 0 or t0 >= deadline:
+                self.host_next[host] = t0
+                continue
+            if step <= 0.0:
+                k = min(qn, budget)
+                fa = np.full(k, t0, dtype=np.float64)
+                t_end = t0
+            else:
+                # fetch_after values accumulate (cumsum == the old
+                # ``t += step`` loop bit-for-bit); k = how many stay
+                # strictly under the deadline
+                est = np.ceil((deadline - t0) / step) + 2
+                kmax = int(min(qn, budget, est))
+                fa = np.cumsum(np.r_[t0, np.full(kmax - 1, step)])
+                k = min(int(np.searchsorted(fa, deadline, side="left")), qn, budget)
+                fa = fa[:k]
+                t_end = float(fa[-1]) + step if k else t0
+            self.host_next[host] = t_end
+            if k == 0:
+                continue
+            segs = self.queues[host]
+            got = 0
+            while got < k:
+                s = segs[0]
+                need = k - got
+                if s.num_rows <= need:
+                    taken.append(s)
+                    got += s.num_rows
+                    segs.pop(0)
+                else:
+                    taken.append(s.slice(0, need))
+                    segs[0] = s.slice(need)
+                    got = k
+            fas.append(fa)
+            self.qlen[host] = qn - k
+            budget -= k
+            self.total -= k
+            if not segs:
                 empty_hosts.append(host)
         for host in empty_hosts:
             del self.queues[host]
-        self.total -= popped
-        return out
+            del self.qlen[host]
+        if taken:
+            out = pa.concat_tables(taken)
+            fa_col = pa.array(np.concatenate(fas), pa.float64())
+        else:
+            out = _CKPT_SCHEMA.empty_table()
+            fa_col = pa.array([], pa.float64())
+        return out.append_column("fetch_after", fa_col)
+
+    def pop_ready(self, now: float, horizon: float, max_total: int = 1 << 30) -> dict:
+        """Compat/introspection variant: the popped batch as a dict of
+        Python lists (tests, registry protocol). The crawl hot path
+        uses :meth:`pop_ready_refs` and never converts to Python."""
+        t = self._pop_table(now, horizon, max_total)
+        return {c: t[c].to_pylist() for c in (*FRONTIER_COLS, "fetch_after")}
 
     def pop_ready_refs(self, now: float, horizon: float, max_total: int = 1 << 30):
         """Scale variant of :meth:`pop_ready` for the epoch hot path:
@@ -144,31 +213,18 @@ class FrontierShard:
         assignment task, and ``table_ref`` the full popped rows as one
         Arrow table (URLs and all) that downstream fetch tasks consume
         directly. The driver never touches a per-row value."""
-        import numpy as np
         import ray
 
-        popped = self.pop_ready(now, horizon, max_total)
+        table = self._pop_table(now, horizon, max_total).combine_chunks()
+        fa = table["fetch_after"].to_numpy()
         keys = {
-            "epoch": np.asarray(popped["epoch"], dtype=np.int32),
-            "fetch_after": np.asarray(popped["fetch_after"], dtype=np.float64),
-            "parent_seq": np.asarray(popped["parent_seq"], dtype=np.int64),
-            "link_idx": np.asarray(popped["link_idx"], dtype=np.int32),
+            "epoch": table["epoch"].to_numpy().astype(np.int32, copy=False),
+            "fetch_after": fa,
+            "parent_seq": table["parent_seq"].to_numpy().astype(np.int64, copy=False),
+            "link_idx": table["link_idx"].to_numpy().astype(np.int32, copy=False),
         }
-        table = pa.table(
-            {
-                "url": pa.array(popped["url"], pa.string()),
-                "host": pa.array(popped["host"], pa.string()),
-                "job_id": pa.array(popped["job_id"], pa.string()),
-                "attempts": pa.array(popped["attempts"], pa.int32()),
-                "prev_status": pa.array(popped["prev_status"], pa.int32()),
-                "epoch": pa.array(popped["epoch"], pa.int32()),
-                "parent_seq": pa.array(popped["parent_seq"], pa.int64()),
-                "link_idx": pa.array(popped["link_idx"], pa.int32()),
-                "fetch_after": pa.array(popped["fetch_after"], pa.float64()),
-            }
-        )
         n = table.num_rows
-        max_fa = float(keys["fetch_after"].max()) if n else 0.0
+        max_fa = float(fa.max()) if n else 0.0
         return n, max_fa, ray.put(keys), ray.put(table)
 
     def backoff(self, hosts: list[str], step: float) -> None:
@@ -206,17 +262,13 @@ class FrontierShard:
 
     def host_sizes(self) -> dict[str, int]:
         self._drain_buffer()
-        return {h: len(q) for h, q in self.queues.items()}
+        return dict(self.qlen)
 
     def checkpoint(self, directory: str) -> str:
         self._drain_buffer()
         os.makedirs(directory, exist_ok=True)
-        entries = [e for h in sorted(self.queues) for e in self.queues[h]]
-        cols = list(zip(*entries)) if entries else [[] for _ in FRONTIER_COLS]
-        table = pa.table(
-            {c: pa.array(list(v), _CKPT_SCHEMA.field(c).type) for c, v in zip(FRONTIER_COLS, cols)},
-            schema=_CKPT_SCHEMA,
-        )
+        segs = [s for h in sorted(self.queues) for s in self.queues[h]]
+        table = pa.concat_tables(segs) if segs else _CKPT_SCHEMA.empty_table()
         path = os.path.join(directory, f"frontier-{self.shard_id:05d}.parquet")
         tmp = path + ".tmp"
         pq.write_table(table, tmp)
@@ -238,6 +290,7 @@ class FrontierShard:
         path = os.path.join(directory, f"frontier-{self.shard_id:05d}.parquet")
         t = pq.read_table(path)
         self.queues.clear()
+        self.qlen.clear()
         self.host_next.clear()
         import json
 
@@ -252,6 +305,6 @@ class FrontierShard:
                 self.host_base = {h: float(v) for h, v in d.get("host_base", {}).items()}
             else:
                 self.host_next = {h: float(v) for h, v in d.items()}
-        self.buffer = list(zip(*(t[c].to_pylist() for c in FRONTIER_COLS))) if t.num_rows else []
+        self.buffer = [t.cast(_CKPT_SCHEMA)] if t.num_rows else []
         self.total = t.num_rows
         return t.num_rows

@@ -89,11 +89,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # other stratum to 70% (md5-threshold rule, pure map)
         "stratified_sample": text.stratified_sample,
         "pack_sequences": lambda sf: text.pack_sequences(sf, budget=512),  # rows-only (reset-on-overflow cumsum; pytest-pinned)
+        # PII-style regex scrubbing (rules are config; demo 'stop' rule
+        # fires on the synthetic corpus so counts are non-trivial)
+        "regex_redact": text.regex_redact,
+        # exact-substring benchmark decontamination (bounded snippet
+        # set broadcast as one compiled alternation — no join)
+        "decontaminate": text.decontaminate,
+        # Gopher-style repetition signals (top/duplicate bigram mass)
+        "repetition_stats": text.repetition_stats,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         # duplicate RESOLUTION policy: keep the highest-quality copy
         # per exact-dup cluster (tie -> min doc_id), not an arbitrary one
         "dedup_keep_best": dedup.dedup_keep_best,
+        # CCNet-style chunk-level exact dedup + document reassembly
+        # (keep each distinct 5-word chunk's first occurrence)
+        "chunk_dedup": dedup.chunk_dedup,
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
             sf, n=1, threshold=JACCARD_THRESHOLD, exact=True
         ),
@@ -394,6 +405,80 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS BIGINT) % 1000000
                   < CASE WHEN lang = 'en' THEN 300000 ELSE 700000 END""",
+        # identical RE2-compatible pattern strings as text.REDACT_RULES;
+        # counts on the original text, replacements applied in order
+        "regex_redact": """
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       COALESCE(text, ''),
+                       '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+',
+                       '<EMAIL>', 'g'),
+                       '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b',
+                       '<PHONE>', 'g'),
+                       '\\b(?:the)\\b', '<STOP>', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                       '[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\\.[A-Za-z0-9.-]+'))
+                       AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                       '\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b'))
+                       AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(COALESCE(text, ''),
+                       '\\b(?:the)\\b')) AS BIGINT) AS n_stop
+            FROM documents""",
+        "decontaminate": """
+            WITH snip AS (
+                SELECT DISTINCT array_to_string(list_slice(
+                    string_split(COALESCE(text, ''), ' '), 1, 5), ' ') AS s
+                FROM documents WHERE doc_id % 13 = 0 AND doc_id < 1000)
+            SELECT d.doc_id,
+                   CAST(EXISTS(SELECT 1 FROM snip
+                               WHERE contains(COALESCE(d.text, ''), s))
+                        AS BIGINT) AS contaminated
+            FROM documents d""",
+        "repetition_stats": """
+            WITH words AS (
+                SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+                FROM documents
+            ), bi AS (
+                SELECT doc_id, ws[gs] || ' ' || ws[gs + 1] AS bg
+                FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(gs)
+            ), cnt AS (
+                SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+            ), agg AS (
+                SELECT doc_id, SUM(c) AS nb, MAX(c) AS tb, COUNT(*) AS nd
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(tb, 0) AS BIGINT) AS top_bigram_n,
+                   CAST(COALESCE(nb - nd, 0) AS BIGINT) AS dup_bigram_excess,
+                   ROUND(CAST(COALESCE(tb, 0) AS DOUBLE)
+                         / GREATEST(COALESCE(nb, 0), 1), 6) AS top_bigram_frac
+            FROM words w LEFT JOIN agg USING (doc_id)""",
+        "chunk_dedup": """
+            WITH words AS (
+                SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id, gs AS ci,
+                       array_to_string(list_slice(ws, 5 * (gs - 1) + 1, 5 * gs),
+                                       ' ') AS chunk,
+                       CAST(ceil(len(ws) / 5.0) AS BIGINT) AS n_chunks_total
+                FROM words,
+                     UNNEST(generate_series(
+                         1, CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS t(gs)
+            ), win AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+                    FROM chunks) WHERE rn = 1
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY ci) AS clean_text,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
+                   CAST(ANY_VALUE(n_chunks_total) AS BIGINT) AS n_chunks_total
+            FROM win GROUP BY doc_id""",
         "dedup_keep_best": f"""
             WITH scored AS (
                 SELECT md5(text) AS text_hash, doc_id,

@@ -54,6 +54,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",
     "components_distributed",
+    "chunk_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
     "embedding_cosine_pairs",
@@ -976,3 +977,96 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.9, method: str = "ivf"):
     else:
         pairs = embedding_cosine_pairs(sf_dir, threshold)
     return components_distributed(pairs, id_col="vec_id")
+
+
+# --------------------------------------------- chunk-level exact dedup
+
+def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64):
+    """CCNet-style chunk-level exact dedup with document reassembly:
+    split every document into fixed ``chunk_words``-word chunks (the
+    paragraph stand-in — the synthetic corpus has no newlines), keep
+    each distinct chunk's globally FIRST occurrence (min (doc_id,
+    chunk_idx)), and reassemble the surviving chunks per document in
+    original order. Documents whose every chunk was seen earlier drop
+    out entirely.
+
+    Two bounded-bucket exchanges, never an all-pairs step:
+
+    1. chunk rows co-partition by ``crc32(chunk) % n_buckets`` — the
+       winner per distinct chunk is decided vectorized inside one
+       bucket (sort + drop_duplicates), so only chunk text + two int
+       ids cross the wire (≈ corpus volume, the floor for content
+       dedup);
+    2. winners co-partition by ``doc_id % n_buckets`` — reassembly
+       (sort by chunk_idx, join with spaces) is per-doc local to one
+       bucket.
+
+    Output: (doc_id, clean_text, n_chunks_kept, n_chunks_total).
+    SQL-expressible (window rank over chunks) → DuckDB oracle.
+    """
+    from zlib import crc32
+
+    import ray.data as rd
+
+    def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, cis, chunks, totals = [], [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            words = t.split(" ")
+            n = (len(words) + chunk_words - 1) // chunk_words
+            for i in range(n):
+                ids.append(d)
+                cis.append(i + 1)
+                chunks.append(" ".join(words[i * chunk_words:(i + 1) * chunk_words]))
+                totals.append(n)
+        df = pd.DataFrame({
+            "doc_id": pd.Series(ids, dtype="int64"),
+            "ci": pd.Series(cis, dtype="int64"),
+            "chunk": pd.Series(chunks, dtype="object"),
+            "n_chunks_total": pd.Series(totals, dtype="int64"),
+        })
+        df["bucket"] = [crc32(c.encode()) % n_buckets for c in df["chunk"]]
+        df["bucket"] = df["bucket"].astype("int64")
+        return df
+
+    rows = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(to_chunks, batch_format="pandas")
+    )
+
+    win_schema = pa.schema([
+        ("doc_id", pa.int64()), ("ci", pa.int64()), ("chunk", pa.string()),
+        ("n_chunks_total", pa.int64()), ("dbucket", pa.int64()),
+    ])
+
+    def keep_first(b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return win_schema.empty_table()
+        df = (t.to_pandas()
+              .sort_values(["chunk", "doc_id", "ci"], kind="mergesort")
+              .drop_duplicates("chunk", keep="first"))
+        df = df.drop(columns=["bucket"])
+        df["dbucket"] = (df["doc_id"] % n_buckets).astype("int64")
+        return pa.Table.from_pandas(df, schema=win_schema, preserve_index=False)
+
+    winners = bucket_exchange([(rows, "bucket")], n_buckets, keep_first)
+
+    out_schema = pa.schema([
+        ("doc_id", pa.int64()), ("clean_text", pa.string()),
+        ("n_chunks_kept", pa.int64()), ("n_chunks_total", pa.int64()),
+    ])
+
+    def reassemble(b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return out_schema.empty_table()
+        df = t.to_pandas().sort_values(["doc_id", "ci"], kind="mergesort")
+        g = df.groupby("doc_id", sort=True)
+        out = pd.DataFrame({
+            "doc_id": np.fromiter(g.groups.keys(), dtype="int64"),
+            "clean_text": g["chunk"].agg(" ".join).to_numpy(),
+            "n_chunks_kept": g.size().to_numpy(dtype="int64"),
+            "n_chunks_total": g["n_chunks_total"].first().to_numpy(dtype="int64"),
+        })
+        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+
+    return bucket_exchange([(winners, "dbucket")], n_buckets, reassemble,
+                           schemas=[win_schema])

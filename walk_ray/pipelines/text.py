@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 import re
 
+import numpy as np
 import pandas as pd
 
 __all__ = [
@@ -31,6 +32,9 @@ __all__ = [
     "tfidf_top_terms",
     "hash_split",
     "pack_sequences",
+    "regex_redact",
+    "decontaminate",
+    "repetition_stats",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -518,3 +522,130 @@ def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 64):
 
     rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pandas")
     return bucket_exchange([(rows, "bucket")], n_buckets, pack_bucket)
+
+
+# ------------------------------------------------------- PII redaction
+
+# Default redaction rules: (name, pattern, replacement), applied in
+# order. Patterns stick to RE2-compatible syntax ([0-9], (?:...), \b)
+# so the DuckDB oracle runs the IDENTICAL strings; counts are taken on
+# the ORIGINAL text (rules here match disjoint spans, so sequential-
+# vs-original counting cannot differ — documented invariant).
+REDACT_RULES = (
+    ("email", r"[A-Za-z0-9_.+-]+@[A-Za-z0-9-]+\.[A-Za-z0-9.-]+", "<EMAIL>"),
+    ("phone", r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b", "<PHONE>"),
+    # demo rule that actually fires on the synthetic corpus (word-salad
+    # text carries no PII): whole-token stopword 'the'
+    ("stop", r"\b(?:the)\b", "<STOP>"),
+)
+
+
+def regex_redact(sf_dir: str, rules=REDACT_RULES):
+    """PII-style regex redaction: apply each (name, pattern, repl) rule
+    to ``text`` in order, emitting the cleaned text plus a per-rule
+    match count ``n_<name>`` (counted on the original text). The shape
+    of a scrubbing stage in a training-data pipeline — patterns are
+    config; compiled once at pipeline build, vectorized
+    ``Series.str.count`` / ``str.replace`` per batch."""
+    compiled = [(name, re.compile(pat), repl) for name, pat, repl in rules]
+
+    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        out = {"doc_id": batch["doc_id"]}
+        clean = texts
+        for name, rx, repl in compiled:
+            out[f"n_{name}"] = texts.str.count(rx).astype("int64")
+            clean = clean.str.replace(rx, repl, regex=True)
+        out["clean_text"] = clean
+        return pd.DataFrame(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scrub, batch_format="pandas")
+
+
+# ------------------------------------------- benchmark decontamination
+
+DECON_EVERY = 13       # benchmark = docs with doc_id % 13 == 0 ...
+DECON_MAX_ID = 1000    # ... and doc_id < 1000 → ≤ 77 snippets at ANY
+                       # corpus scale (a real benchmark set is a fixed
+                       # small external artifact; deriving it from a
+                       # bounded id range keeps the bench synthetic
+                       # while keeping the broadcast side O(1))
+DECON_SNIP_WORDS = 5
+
+
+def decontaminate(sf_dir: str, every: int = DECON_EVERY,
+                  max_id: int = DECON_MAX_ID,
+                  snip_words: int = DECON_SNIP_WORDS):
+    """Exact-substring benchmark decontamination: flag every document
+    whose text contains any benchmark snippet verbatim (the
+    conservative pre-training hygiene check). The benchmark side is a
+    BOUNDED set (≤ max_id/every snippets regardless of corpus size), so
+    it broadcasts as one compiled alternation regex inside the batch
+    closure — a single vectorized ``str.contains`` pass per batch, no
+    join, no shuffle. Output: (doc_id, contaminated ∈ {0,1})."""
+    snip_ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_snips(batch: pd.DataFrame) -> pd.DataFrame:
+        sel = batch[(batch["doc_id"] % every == 0) & (batch["doc_id"] < max_id)]
+        snips = (sel["text"].fillna("").str.split(" ").str[:snip_words]
+                 .str.join(" "))
+        return pd.DataFrame({"snip": snips})
+
+    # bounded small side (≤ 77 rows): take_all is O(1), documented
+    snips = sorted({r["snip"] for r in
+                    snip_ds.map_batches(to_snips, batch_format="pandas").take_all()})
+    rx = re.compile("|".join(re.escape(s) for s in snips)) if snips else None
+
+    def flag(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        hit = texts.str.contains(rx) if rx is not None else pd.Series(
+            False, index=texts.index)
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "contaminated": hit.astype("int64")})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(flag, batch_format="pandas")
+
+
+# ------------------------------------------- Gopher-style repetition
+
+def repetition_stats(sf_dir: str):
+    """Repetition quality signals (the Gopher-rules shape): per doc,
+    the total / top / excess word-bigram counts and the top-bigram
+    fraction. A doc dominated by one repeated phrase scores a high
+    ``top_bigram_frac`` and would be filtered upstream of training.
+
+    Vectorized: explode words once per batch (pandas), shift-align to
+    form bigrams within each doc, one groupby for the counts — no
+    per-token Python loop."""
+
+    def stats(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].reset_index(drop=True)
+        words = texts.str.split(" ").reset_index(drop=True)
+        n_words = words.str.len().astype("int64")
+        ex = words.explode()
+        di = ex.index.to_numpy()
+        dw = ex.to_numpy()
+        mask = np.empty(len(di), dtype=bool)
+        if len(di):
+            mask[:-1] = di[1:] == di[:-1]
+            mask[-1] = False
+        w2 = np.roll(dw, -1)
+        bg = pd.DataFrame({"i": di[mask],
+                           "bg": dw[mask] + np.full(int(mask.sum()), " ",
+                                                    dtype=object) + w2[mask]})
+        cnt = bg.groupby(["i", "bg"], sort=False).size()
+        per_doc = cnt.groupby(level=0)
+        n_bigrams = per_doc.sum().reindex(range(len(ids)), fill_value=0)
+        top_n = per_doc.max().reindex(range(len(ids)), fill_value=0)
+        n_distinct = per_doc.size().reindex(range(len(ids)), fill_value=0)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_words": n_words,
+            "n_bigrams": n_bigrams.astype("int64").to_numpy(),
+            "top_bigram_n": top_n.astype("int64").to_numpy(),
+            "dup_bigram_excess": (n_bigrams - n_distinct).astype("int64").to_numpy(),
+            "top_bigram_frac": (top_n / n_bigrams.clip(lower=1)).round(6).to_numpy(),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")

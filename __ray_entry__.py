@@ -97,6 +97,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": text.decontaminate,
         # Gopher-style repetition signals (top/duplicate bigram mass)
         "repetition_stats": text.repetition_stats,
+        # batched model inference shape: hashed-BoW linear classifier,
+        # weights loaded once per actor, vectorized per batch
+        "classifier_scores": text.classifier_scores,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         # duplicate RESOLUTION policy: keep the highest-quality copy
@@ -405,6 +408,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS BIGINT) % 1000000
                   < CASE WHEN lang = 'en' THEN 300000 ELSE 700000 END""",
+        # the hashed-BoW linear model run verbatim in SQL: md5-prefix
+        # feature hashing, Knuth-multiplicative weights, sigmoid(mean)
+        "classifier_scores": f"""
+            SELECT doc_id,
+                   CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
+                   ROUND(1.0 / (1.0 + EXP(-(COALESCE(list_sum(
+                       list_transform({_WORDS}, tok ->
+                           CAST((CAST(('0x' || substr(md5(tok), 1, 8))
+                                      AS BIGINT) % 65536)
+                                * 2654435761 % 4294967296 AS DOUBLE)
+                           / 4294967296.0 - 0.5)), 0)
+                       / GREATEST(len({_WORDS}), 1)))), 6) AS score
+            FROM documents""",
         # identical RE2-compatible pattern strings as text.REDACT_RULES;
         # counts on the original text, replacements applied in order
         "regex_redact": """

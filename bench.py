@@ -180,7 +180,10 @@ def _bench_queries() -> dict:
     run("quality_scores", lambda: text.quality_scores(SF_DIR))
     run("tfidf_top_terms", lambda: text.tfidf_top_terms(SF_DIR))
     run("hash_split", lambda: text.hash_split(SF_DIR))
+    run("classifier_scores", lambda: text.classifier_scores(SF_DIR))
+    run("repetition_stats", lambda: text.repetition_stats(SF_DIR))
     run("exact_dedup", lambda: dedup.exact_dedup(SF_DIR))
+    run("chunk_dedup", lambda: dedup.chunk_dedup(SF_DIR))
     run("minhash_lsh_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR, ngram=3, threshold=0.5))
     run("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))
     run("unigram_jaccard_lsh",

@@ -35,6 +35,7 @@ __all__ = [
     "regex_redact",
     "decontaminate",
     "repetition_stats",
+    "classifier_scores",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -583,15 +584,23 @@ def decontaminate(sf_dir: str, every: int = DECON_EVERY,
     it broadcasts as one compiled alternation regex inside the batch
     closure — a single vectorized ``str.contains`` pass per batch, no
     join, no shuffle. Output: (doc_id, contaminated ∈ {0,1})."""
-    snip_ds = _docs(sf_dir, ["doc_id", "text"])
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    # the doc_id < max_id predicate is pushed into the parquet scan
+    # (row-group pruning: at 100 TB only the leading shards are read);
+    # the % every filter runs on the bounded remainder
+    snip_ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id", "text"],
+                              filter=pc.field("doc_id") < max_id)
 
     def to_snips(batch: pd.DataFrame) -> pd.DataFrame:
-        sel = batch[(batch["doc_id"] % every == 0) & (batch["doc_id"] < max_id)]
+        sel = batch[batch["doc_id"] % every == 0]
         snips = (sel["text"].fillna("").str.split(" ").str[:snip_words]
                  .str.join(" "))
-        return pd.DataFrame({"snip": snips})
+        return pd.DataFrame({"snip": pd.Series(snips, dtype="object")})
 
-    # bounded small side (≤ 77 rows): take_all is O(1), documented
+    # bounded small side (≤ max_id/every rows): take_all is O(1), documented
     snips = sorted({r["snip"] for r in
                     snip_ds.map_batches(to_snips, batch_format="pandas").take_all()})
     rx = re.compile("|".join(re.escape(s) for s in snips)) if snips else None
@@ -649,3 +658,65 @@ def repetition_stats(sf_dir: str):
         })
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
+
+
+# ----------------------------------------- model-scoring stage shape
+
+CLF_DIM = 65536  # hashed feature space (md5-prefix % CLF_DIM)
+
+
+def classifier_scores(sf_dir: str):
+    """Quality-classifier scoring, the batched-model-inference shape:
+    a hashed bag-of-words linear model (fasttext-style) scored over
+    every document. The "model" is a deterministic weight vector
+    ``w[i] = ((i * 2654435761) % 2^32) / 2^32 - 0.5`` over a
+    ``CLF_DIM``-dim md5-hashed token space — loaded ONCE per actor in
+    ``__init__`` (the seam where a real .bin model load goes), scored
+    vectorized per batch (unique-token hashing + one grouped sum).
+
+    ``score = sigmoid(mean token weight)``, rounded to 6 dp. Every
+    step is SQL-expressible → DuckDB oracle (md5-prefix hashing and
+    the weight formula run verbatim in SQL).
+    """
+    import hashlib
+
+    class Scorer:
+        def __init__(self):
+            i = np.arange(CLF_DIM, dtype=np.uint64)
+            self.w = ((i * np.uint64(2654435761)) % np.uint64(2**32)) \
+                .astype(np.float64) / 2.0**32 - 0.5
+            self.idx_cache: dict[str, int] = {}
+
+        def _idx(self, tok: str) -> int:
+            h = self.idx_cache.get(tok)
+            if h is None:
+                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % CLF_DIM
+                self.idx_cache[tok] = h
+            return h
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            texts = batch["text"].fillna("")
+            toks = texts.str.split().reset_index(drop=True)
+            n_tok = toks.str.len().to_numpy(dtype=np.int64)
+            ex = toks.explode().dropna()
+            di = ex.index.to_numpy(dtype=np.int64)
+            # hash only UNIQUE tokens (md5 is per-vocab-entry, not
+            # per-token): factorize → per-unique index → gather
+            codes, uniques = pd.factorize(ex.to_numpy())
+            uidx = np.fromiter((self._idx(t) for t in uniques),
+                               dtype=np.int64, count=len(uniques))
+            tw = self.w[uidx[codes]] if len(codes) else np.empty(0)
+            sums = np.zeros(len(toks), dtype=np.float64)
+            np.add.at(sums, di, tw)
+            logit = sums / np.maximum(n_tok, 1)
+            return pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "n_tokens": n_tok,
+                "score": np.round(1.0 / (1.0 + np.exp(-logit)), 6),
+            })
+
+    # fixed small pool + coalesced batches: tiny parquet blocks would
+    # otherwise become tiny batches (per-call overhead dominates); the
+    # 512 KB weight vector lives once per actor, NOT once per batch
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Scorer, batch_format="pandas", concurrency=4, batch_size=2048)

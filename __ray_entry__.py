@@ -100,6 +100,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # batched model inference shape: hashed-BoW linear classifier,
         # weights loaded once per actor, vectorized per batch
         "classifier_scores": text.classifier_scores,
+        # corpus bigram-LM perplexity (CCNet-shaped quality signal):
+        # LM train + doc scoring complete inside one hash(w1)
+        # co-partition; skinny doc-combine exchange after
+        "lm_perplexity": text.lm_perplexity,
         # --- dedup ---
         "exact_dedup": dedup.exact_dedup,
         # duplicate RESOLUTION policy: keep the highest-quality copy
@@ -408,6 +412,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                        AS BIGINT) % 1000000
                   < CASE WHEN lang = 'en' THEN 300000 ELSE 700000 END""",
+        # the bigram LM run verbatim in SQL: same additive smoothing,
+        # same ln/exp; docs with no bigram score exactly 1.0
+        "lm_perplexity": f"""
+            WITH words AS (SELECT doc_id, {_WORDS} AS ws FROM documents),
+            bi AS (SELECT doc_id, ws[gs] AS w1, ws[gs + 1] AS w2
+                   FROM words,
+                        UNNEST(generate_series(1, len(ws) - 1)) AS t(gs)),
+            bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM bi GROUP BY w1, w2),
+            pc AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY w1),
+            sc AS (SELECT b.doc_id,
+                          SUM(LN((bc.c2 + 1.0) / (pc.c1 + 4096.0))) AS s,
+                          COUNT(*) AS n
+                   FROM bi b JOIN bc USING (w1, w2) JOIN pc USING (w1)
+                   GROUP BY b.doc_id)
+            SELECT w.doc_id, CAST(COALESCE(n, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(CASE WHEN n > 0 THEN EXP(-s / n) ELSE 1.0 END, 6)
+                       AS perplexity
+            FROM words w LEFT JOIN sc USING (doc_id)""",
         # the hashed-BoW linear model run verbatim in SQL: md5-prefix
         # feature hashing, Knuth-multiplicative weights, sigmoid(mean)
         "classifier_scores": f"""

@@ -181,6 +181,7 @@ def _bench_queries() -> dict:
     run("tfidf_top_terms", lambda: text.tfidf_top_terms(SF_DIR))
     run("hash_split", lambda: text.hash_split(SF_DIR))
     run("classifier_scores", lambda: text.classifier_scores(SF_DIR))
+    run("lm_perplexity", lambda: text.lm_perplexity(SF_DIR))
     run("repetition_stats", lambda: text.repetition_stats(SF_DIR))
     run("exact_dedup", lambda: dedup.exact_dedup(SF_DIR))
     run("chunk_dedup", lambda: dedup.chunk_dedup(SF_DIR))

@@ -76,3 +76,38 @@ def test_chunk_dedup_shard_independent(ray_ok):
     b = (chunk_dedup(SF, n_buckets=17).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_classifier_scores_bounds(ray_ok):
+    from walk_ray.pipelines.text import classifier_scores
+
+    df = classifier_scores(SF).to_pandas()
+    assert df["score"].between(0.0, 1.0).all()
+    # deterministic model → identical on rerun
+    df2 = classifier_scores(SF).to_pandas()
+    a = df.sort_values("doc_id").reset_index(drop=True)
+    b = df2.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lm_perplexity_semantics(ray_ok):
+    from walk_ray.pipelines.text import lm_perplexity
+
+    df = lm_perplexity(SF).to_pandas()
+    assert (df["perplexity"] > 0).all()
+    # every doc surfaces, including bigram-less ones at exactly 1.0
+    assert len(df) == len(df["doc_id"].unique())
+    assert (df.loc[df["n_bigrams"] == 0, "perplexity"] == 1.0).all()
+    # the corpus LM must fit its own corpus far better than the
+    # smoothed-unseen ceiling (LM_SMOOTH)
+    assert df.loc[df["n_bigrams"] > 0, "perplexity"].median() < 4096
+
+
+def test_lm_perplexity_shard_independent(ray_ok):
+    from walk_ray.pipelines.text import lm_perplexity
+
+    a = (lm_perplexity(SF, n_buckets=4).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (lm_perplexity(SF, n_buckets=17).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)

@@ -36,6 +36,7 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "classifier_scores",
+    "lm_perplexity",
     "STOPWORDS",
     "LANG_MARKERS",
 ]
@@ -715,8 +716,122 @@ def classifier_scores(sf_dir: str):
                 "score": np.round(1.0 / (1.0 + np.exp(-logit)), 6),
             })
 
-    # fixed small pool + coalesced batches: tiny parquet blocks would
+    # autoscaling pool (min 1 → a 4-CPU test session keeps CPUs free
+    # for the upstream read; a fixed pool the size of the session
+    # starves it) + coalesced batches: tiny parquet blocks would
     # otherwise become tiny batches (per-call overhead dominates); the
     # 512 KB weight vector lives once per actor, NOT once per batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Scorer, batch_format="pandas", concurrency=4, batch_size=2048)
+        Scorer, batch_format="pandas", concurrency=(1, 8), batch_size=2048)
+
+
+# ------------------------------------------- n-gram LM perplexity
+
+LM_SMOOTH = 4096.0  # constant additive-smoothing denominator (fixed →
+                    # the whole train+score is ONE pass, no global
+                    # vocab-size scalar round-trip)
+
+
+def lm_perplexity(sf_dir: str, n_buckets: int = 64):
+    """Corpus bigram-LM perplexity per document — the CCNet-shaped
+    quality signal (docs unlike the corpus score high). The LM is
+    trained ON the corpus and scored over it in one distributed
+    pipeline:
+
+    ``P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + LM_SMOOTH)``,
+    ``perplexity = exp(-mean ln P)`` over the doc's bigrams (docs with
+    no bigram score 1.0).
+
+    Scale shape: bigram instance rows pre-aggregate per batch, then
+    co-partition by ``crc32(w1)`` — every instance of prefix ``w1``
+    lands in ONE bucket, so the global counts c(w1,w2), c(w1) AND each
+    doc's partial log-P sums all complete inside that bucket with no
+    second count shuffle. A final skinny exchange by ``doc_id``
+    combines partials (left-joined against the doc list so
+    bigram-less docs surface). Nothing corpus-sized touches the
+    driver. SQL-expressible → DuckDB oracle.
+    """
+    from zlib import crc32
+
+    import pyarrow as pa
+
+    from ..stages.exchange import bucket_exchange
+
+    def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, w1s, w2s = [], [], []
+        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
+            ws = t.split()
+            for i in range(len(ws) - 1):
+                ids.append(d)
+                w1s.append(ws[i])
+                w2s.append(ws[i + 1])
+        df = (pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                            "w1": w1s, "w2": w2s})
+              .groupby(["doc_id", "w1", "w2"], sort=False).size()
+              .rename("k").reset_index())
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "w1": pd.Series([], dtype="object"),
+                                 "w2": pd.Series([], dtype="object"),
+                                 "k": pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64")})
+        uniq = df["w1"].unique()
+        bmap = {w: crc32(w.encode()) % n_buckets for w in uniq}
+        df["bucket"] = df["w1"].map(bmap).astype("int64")
+        df["k"] = df["k"].astype("int64")
+        return df
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bigram_rows, batch_format="pandas")
+
+    part_schema = pa.schema([("doc_id", pa.int64()), ("s", pa.float64()),
+                             ("n", pa.int64()), ("dbucket", pa.int64())])
+
+    def score_bucket(_b: int, t) -> pa.Table:
+        if t is None or t.num_rows == 0:
+            return part_schema.empty_table()
+        df = t.to_pandas()
+        # global counts are bucket-local (all of prefix w1 is here)
+        c2 = df.groupby(["w1", "w2"], sort=False)["k"].transform("sum")
+        c1 = df.groupby("w1", sort=False)["k"].transform("sum")
+        logp = np.log((c2.to_numpy(dtype=np.float64) + 1.0)
+                      / (c1.to_numpy(dtype=np.float64) + LM_SMOOTH))
+        df["s"] = logp * df["k"].to_numpy(dtype=np.float64)
+        agg = df.groupby("doc_id", sort=True).agg(
+            s=("s", "sum"), n=("k", "sum")).reset_index()
+        agg["dbucket"] = (agg["doc_id"] % n_buckets).astype("int64")
+        return pa.Table.from_pandas(agg, schema=part_schema, preserve_index=False)
+
+    partials = bucket_exchange([(rows, "bucket")], n_buckets, score_bucket)
+
+    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "dbucket": ids % n_buckets})
+
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(doc_rows, batch_format="pandas")
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
+                            ("perplexity", pa.float64())])
+
+    def combine(_b: int, part_t, doc_t) -> pa.Table:
+        if doc_t is None or doc_t.num_rows == 0:
+            return out_schema.empty_table()
+        docs_df = pd.DataFrame(
+            {"doc_id": doc_t["doc_id"].to_numpy(zero_copy_only=False)})
+        if part_t is not None and part_t.num_rows:
+            p = (part_t.select(["doc_id", "s", "n"]).to_pandas()
+                 .groupby("doc_id", sort=True).sum().reset_index())
+        else:
+            p = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "s": pd.Series([], dtype="float64"),
+                              "n": pd.Series([], dtype="int64")})
+        m = docs_df.merge(p, on="doc_id", how="left")
+        n = m["n"].fillna(0).to_numpy(dtype=np.int64)
+        s = m["s"].fillna(0.0).to_numpy(dtype=np.float64)
+        ppl = np.where(n > 0, np.exp(-s / np.maximum(n, 1)), 1.0)
+        return pa.table({"doc_id": pa.array(m["doc_id"].to_numpy(np.int64)),
+                         "n_bigrams": pa.array(n, pa.int64()),
+                         "perplexity": pa.array(np.round(ppl, 6), pa.float64())})
+
+    return bucket_exchange([(partials, "dbucket"), (docs, "dbucket")],
+                           n_buckets, combine, schemas=[part_schema, None])

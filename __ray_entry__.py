@@ -43,7 +43,8 @@ def _orders_by_nation_native(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from walk_ray.pipelines import crawl_queries as cq
-    from walk_ray.pipelines import dedup, multimodal, relational, similarity, text
+    from walk_ray.pipelines import (dedup, multimodal, prepare, relational,
+                                    similarity, text)
 
     return {
         # --- crawl engine (docs_graph pages derived from documents) ---
@@ -112,6 +113,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CCNet-style chunk-level exact dedup + document reassembly
         # (keep each distinct 5-word chunk's first occurrence)
         "chunk_dedup": dedup.chunk_dedup,
+        # the composed corpus-preparation flagship: quality filter →
+        # chunk dedup → split assignment, one lazy Dataset program,
+        # oracle-checked end to end
+        "prepare_corpus": prepare.prepare_corpus,
         "unigram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
             sf, n=1, threshold=JACCARD_THRESHOLD, exact=True
         ),
@@ -517,6 +522,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
                    CAST(ANY_VALUE(n_chunks_total) AS BIGINT) AS n_chunks_total
             FROM win GROUP BY doc_id""",
+        # the full composed pipeline in one SQL: quality gate (same
+        # expression as dedup_keep_best) → chunk dedup (same CTEs as
+        # chunk_dedup) → md5-boundary split (same CASE as hash_split)
+        "prepare_corpus": f"""
+            WITH kept AS (
+                SELECT doc_id, text FROM documents
+                WHERE ROUND(LEAST(CAST(len({_WORDS}) AS DOUBLE) / 100, 1.0)
+                      * (1 - ROUND(CAST(len(list_filter({_WORDS},
+                                w -> w IN {_STOPLIST})) AS DOUBLE)
+                           / GREATEST(len({_WORDS}), 1), 6)), 6) >= 0.5
+            ), words AS (
+                SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS ws
+                FROM kept
+            ), chunks AS (
+                SELECT doc_id, gs AS ci,
+                       array_to_string(list_slice(ws, 5 * (gs - 1) + 1, 5 * gs),
+                                       ' ') AS chunk,
+                       CAST(ceil(len(ws) / 5.0) AS BIGINT) AS n_chunks_total
+                FROM words,
+                     UNNEST(generate_series(
+                         1, CAST(ceil(len(ws) / 5.0) AS BIGINT))) AS t(gs)
+            ), win AS (
+                SELECT * FROM (
+                    SELECT *, ROW_NUMBER() OVER (
+                        PARTITION BY chunk ORDER BY doc_id, ci) AS rn
+                    FROM chunks) WHERE rn = 1
+            ), reassembled AS (
+                SELECT doc_id,
+                       string_agg(chunk, ' ' ORDER BY ci) AS clean_text,
+                       CAST(COUNT(*) AS BIGINT) AS n_chunks_kept,
+                       CAST(ANY_VALUE(n_chunks_total) AS BIGINT)
+                           AS n_chunks_total
+                FROM win GROUP BY doc_id
+            )
+            SELECT *, CASE
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < 900000 THEN 'train'
+                WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 1000000 < 950000 THEN 'val'
+                ELSE 'test' END AS split
+            FROM reassembled""",
         "dedup_keep_best": f"""
             WITH scored AS (
                 SELECT md5(text) AS text_hash, doc_id,

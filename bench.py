@@ -185,6 +185,9 @@ def _bench_queries() -> dict:
     run("repetition_stats", lambda: text.repetition_stats(SF_DIR))
     run("exact_dedup", lambda: dedup.exact_dedup(SF_DIR))
     run("chunk_dedup", lambda: dedup.chunk_dedup(SF_DIR))
+    from walk_ray.pipelines import prepare
+
+    run("prepare_corpus", lambda: prepare.prepare_corpus(SF_DIR))
     run("minhash_lsh_dedup", lambda: dedup.minhash_lsh_dedup(SF_DIR, ngram=3, threshold=0.5))
     run("simhash_dedup", lambda: dedup.simhash_dedup(SF_DIR))
     run("unigram_jaccard_lsh",

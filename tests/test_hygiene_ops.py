@@ -111,3 +111,21 @@ def test_lm_perplexity_shard_independent(ray_ok):
     b = (lm_perplexity(SF, n_buckets=17).to_pandas()
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_prepare_corpus_composition(ray_ok):
+    """The composed pipeline agrees with its stages run separately."""
+    from walk_ray.pipelines.prepare import PREP_MIN_QUALITY, prepare_corpus
+    from walk_ray.pipelines.text import quality_of
+
+    out = prepare_corpus(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    q = quality_of(docs["text"].fillna(""))
+    kept = set(docs.loc[(q >= PREP_MIN_QUALITY).to_numpy(), "doc_id"])
+    # only quality-passing docs can appear (dedup may drop more)
+    assert set(out["doc_id"]).issubset(kept)
+    assert 0 < len(out) < len(docs)
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # the filtered sub-corpus has fewer chunk collisions than the full
+    # corpus, but reassembly invariants still hold
+    assert (out["n_chunks_kept"] <= out["n_chunks_total"]).all()

@@ -981,7 +981,8 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.9, method: str = "ivf"):
 
 # --------------------------------------------- chunk-level exact dedup
 
-def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64):
+def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64,
+                docs=None):
     """CCNet-style chunk-level exact dedup with document reassembly:
     split every document into fixed ``chunk_words``-word chunks (the
     paragraph stand-in — the synthetic corpus has no newlines), keep
@@ -1028,10 +1029,10 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64):
         df["bucket"] = df["bucket"].astype("int64")
         return df
 
-    rows = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(to_chunks, batch_format="pandas")
-    )
+    if docs is None:
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    rows = docs.map_batches(to_chunks, batch_format="pandas")
 
     win_schema = pa.schema([
         ("doc_id", pa.int64()), ("ci", pa.int64()), ("chunk", pa.string()),

@@ -1,0 +1,65 @@
+"""End-to-end training-corpus preparation — the composed flagship of
+the data-hygiene suite: quality filter → chunk-level exact dedup (with
+document reassembly) → deterministic split assignment, all as ONE lazy
+Dataset program.
+
+Composition is the point: each stage is an existing operator
+(`text.quality_of`, `dedup.chunk_dedup`, `text.hash_split`'s md5-
+boundary rule) chained without materialization — the filter is a
+vectorized map, the dedup's two bounded bucket exchanges are the only
+wide steps, and split assignment is a pure map on the survivors. The
+whole pipeline is SQL-expressible, so the full chain is DuckDB-oracle
+checked end to end (the strongest correctness gate a composition can
+carry).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+__all__ = ["prepare_corpus", "PREP_MIN_QUALITY"]
+
+PREP_MIN_QUALITY = 0.5  # keeps ~54% of the synthetic corpus — a real
+                        # filter, not a pass-through
+
+_SPLIT_BOUNDS = (("train", 900_000), ("val", 950_000), ("test", 1_000_000))
+
+
+def prepare_corpus(sf_dir: str, min_quality: float = PREP_MIN_QUALITY,
+                   chunk_words: int = 5, n_buckets: int = 64):
+    """documents → (doc_id, clean_text, n_chunks_kept, n_chunks_total,
+    split) for every doc that (a) scores ≥ ``min_quality`` on the
+    repo-wide clamped linear quality heuristic and (b) still owns at
+    least one first-occurrence chunk after global chunk dedup."""
+    import ray.data as rd
+
+    from .dedup import chunk_dedup
+    from .text import quality_of
+
+    def keep_quality(batch: pd.DataFrame) -> pd.DataFrame:
+        q = quality_of(batch["text"].fillna(""))
+        return batch.loc[(q >= min_quality).to_numpy(), ["doc_id", "text"]]
+
+    docs = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(keep_quality, batch_format="pandas")
+    )
+
+    deduped = chunk_dedup(sf_dir, chunk_words=chunk_words,
+                          n_buckets=n_buckets, docs=docs)
+
+    def assign_split(batch: pd.DataFrame) -> pd.DataFrame:
+        splits = []
+        for v in batch["doc_id"]:
+            h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
+            for name, hi in _SPLIT_BOUNDS:
+                if h < hi:
+                    splits.append(name)
+                    break
+        out = batch.copy()
+        out["split"] = splits
+        return out
+
+    return deduped.map_batches(assign_split, batch_format="pandas")

@@ -209,7 +209,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'http://docs.test/doc/' || CAST(i AS VARCHAR) AS key,
                    'http://docs.test/doc/' || CAST(i AS VARCHAR) AS url,
                    'Doc ' || CAST(i AS VARCHAR) AS title,
-                   CAST(200 AS INTEGER) AS status,
+                   CAST(200 AS BIGINT) AS status,
                    CAST(CASE WHEN (2*i+1) % {n_docs} = (3*i+7) % {n_docs}
                         THEN 1 ELSE 2 END AS BIGINT) AS n_links
             FROM reach""",

@@ -257,11 +257,17 @@ def run_scaling() -> dict:
 
         if _sh.which("taskset"):
             cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-        out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, check=True,
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the child's actual failure, not just the exit code
+            sys.stderr.write(f"--- {ncpu}-CPU leg failed (exit "
+                             f"{proc.returncode}); last stderr ---\n")
+            sys.stderr.write("\n".join(proc.stderr.splitlines()[-40:]) + "\n")
+            raise SystemExit(proc.returncode)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     lo, hi = 8, 32
     r_lo = run(lo)

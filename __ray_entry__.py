@@ -439,14 +439,19 @@ def oracle_sql() -> dict[str, str]:
         # feature hashing, Knuth-multiplicative weights, sigmoid(mean)
         "classifier_scores": f"""
             SELECT doc_id,
-                   CAST(len({_WORDS}) AS BIGINT) AS n_tokens,
-                   ROUND(1.0 / (1.0 + EXP(-(COALESCE(list_sum(
+                   CASE WHEN trim(COALESCE(text, '')) = ''
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(len({_WORDS}) AS BIGINT)
+                   END AS n_tokens,
+                   CASE WHEN trim(COALESCE(text, '')) = '' THEN 0.5
+                   ELSE ROUND(1.0 / (1.0 + EXP(-(COALESCE(list_sum(
                        list_transform({_WORDS}, tok ->
                            CAST((CAST(('0x' || substr(md5(tok), 1, 8))
                                       AS BIGINT) % 65536)
                                 * 2654435761 % 4294967296 AS DOUBLE)
                            / 4294967296.0 - 0.5)), 0)
-                       / GREATEST(len({_WORDS}), 1)))), 6) AS score
+                       / GREATEST(len({_WORDS}), 1)))), 6)
+                   END AS score
             FROM documents""",
         # identical RE2-compatible pattern strings as text.REDACT_RULES;
         # counts on the original text, replacements applied in order
@@ -475,7 +480,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id % 13 = 0 AND doc_id < 1000)
             SELECT d.doc_id,
                    CAST(EXISTS(SELECT 1 FROM snip
-                               WHERE contains(COALESCE(d.text, ''), s))
+                               WHERE trim(s) <> ''
+                                 AND contains(COALESCE(d.text, ''), s))
                         AS BIGINT) AS contaminated
             FROM documents d""",
         "repetition_stats": """

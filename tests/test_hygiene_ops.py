@@ -129,3 +129,25 @@ def test_prepare_corpus_composition(ray_ok):
     # the filtered sub-corpus has fewer chunk collisions than the full
     # corpus, but reassembly invariants still hold
     assert (out["n_chunks_kept"] <= out["n_chunks_total"]).all()
+
+
+def test_classifier_cache_capped(monkeypatch):
+    """Round-4 advisory: the per-actor token→index memo must stay
+    bounded — web-scale vocabulary would otherwise grow a long-lived
+    actor's heap forever. Past the cap the memo clears (md5 recomputes,
+    scores unchanged)."""
+    from walk_ray.pipelines import text as text_mod
+
+    monkeypatch.setattr(text_mod, "CLF_CACHE_MAX", 100)
+    scorer = text_mod.BoWScorer()
+    big = pd.DataFrame({
+        "doc_id": [1],
+        "text": [" ".join(f"tok{i}" for i in range(500))],
+    })
+    out1 = scorer(big)
+    assert len(scorer.idx_cache) <= 100  # cleared after overflow
+    out2 = scorer(big)  # recompute path gives identical scores
+    pd.testing.assert_frame_equal(out1, out2)
+    small = pd.DataFrame({"doc_id": [2], "text": ["a b c"]})
+    scorer(small)
+    assert len(scorer.idx_cache) <= 100

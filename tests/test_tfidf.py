@@ -69,5 +69,18 @@ def test_stratified_sample_rates_and_determinism():
     for lang in full.index.drop("en"):
         assert 0.5 < kept.get(lang, 0) / full[lang] < 0.9, lang
     # independence: restricting the corpus doesn't change any row's fate
-    sub = set(docs["doc_id"][docs["doc_id"] % 2 == 0])
-    assert set(a["doc_id"]) & sub == {d for d in a["doc_id"] if d in sub}
+    # — run the sampler on a REAL half-corpus written to disk and check
+    # its kept set equals the full sample intersected with that half
+    # (round-4 advisory: the previous set-identity form was a tautology)
+    import os
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    half_ids = set(docs["doc_id"][docs["doc_id"] % 2 == 0])
+    full_docs = pq.read_table(f"{SF}/documents.parquet")
+    half_tbl = full_docs.filter(pc.equal(pc.bit_wise_and(full_docs["doc_id"], 1), 0))
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(half_tbl, os.path.join(td, "documents.parquet"))
+        half_kept = set(stratified_sample(td).to_pandas()["doc_id"])
+    assert half_kept == set(a["doc_id"]) & half_ids

@@ -50,6 +50,7 @@ _PAIRS_EST_SCHEMA = pa.schema(
 
 __all__ = [
     "exact_dedup",
+    "dedup_keep_best",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_lsh_dedup",

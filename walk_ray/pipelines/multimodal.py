@@ -324,9 +324,28 @@ def media_features(sf_dir: str, n: int = 64, decoder: str = "real"):
 
     encoding = "real" if decoder == "real" else "opaque"
     ds = rd.from_arrow(make_media_table(n, encoding=encoding))
-    out = decode_media(ds, decoder=decoder).to_pandas()
-    out["feat_mean"] = out["features"].map(lambda f: round(float(np.mean(f)), 4))
-    return rd.from_pandas(out[["media_id", "kind", "decode_ok", "feat_mean"]])
+
+    def add_mean(t: pa.Table) -> pa.Table:
+        # vectorized list-mean: flatten once, segment-sum by offsets —
+        # stays a Dataset end to end (no driver to_pandas / per-row map)
+        import pyarrow.compute as pc
+
+        col = t["features"].combine_chunks()
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1])) if len(lens) else np.empty(0, np.int64)
+        sums = np.add.reduceat(flat, starts) if flat.size else np.zeros(len(lens))
+        sums = np.where(lens > 0, sums, 0.0)
+        mean = np.round(sums / np.maximum(lens, 1), 4)
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "decode_ok": t["decode_ok"],
+            "feat_mean": pa.array(mean, pa.float64()),
+        })
+
+    return decode_media(ds, decoder=decoder).map_batches(
+        add_mean, batch_format="pyarrow")
 
 
 def media_near_dup(sf_dir: str, n: int = 64, threshold: float = 0.99):
@@ -343,29 +362,33 @@ def media_near_dup(sf_dir: str, n: int = 64, threshold: float = 0.99):
     import hashlib as _hl
     import os
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray.data as rd
 
     from .dedup import embedding_cosine_pairs_blocked
 
     # materialize features as an embeddings-shaped table (vec_id,
     # embedding) — the dedup path reads parquet like any other table
-    tag = _hl.sha256(f"{sf_dir}|{n}|v1".encode()).hexdigest()[:12]
+    tag = _hl.sha256(f"{sf_dir}|{n}|v2".encode()).hexdigest()[:12]
     feat_dir = f"/tmp/walk_ray_media/feat_{tag}"
+    # embeddings.parquet is a DIRECTORY of parquet shards (read_parquet
+    # handles both layouts) — written by the Dataset itself, no driver
+    # materialization; rename-in makes the existence check atomic
     marker = os.path.join(feat_dir, "embeddings.parquet")
     if not os.path.exists(marker):
         os.makedirs(feat_dir, exist_ok=True)
-        feats = decode_media(rd.from_arrow(make_media_table(n))).to_pandas()
-        t = pa.table(
-            {
-                "vec_id": pa.array(feats["media_id"].astype("int64"), pa.int64()),
-                "embedding": pa.array(
-                    [list(map(float, f)) for f in feats["features"]],
-                    pa.list_(pa.float64()),
-                ),
-            }
-        )
-        pq.write_table(t, marker)
+
+        def to_emb(t: pa.Table) -> pa.Table:
+            return pa.table({"vec_id": t["media_id"],
+                             "embedding": t["features"]})
+
+        tmp = marker + f".tmp{os.getpid()}"
+        (decode_media(rd.from_arrow(make_media_table(n)))
+         .map_batches(to_emb, batch_format="pyarrow")
+         .write_parquet(tmp))
+        try:
+            os.rename(tmp, marker)
+        except OSError:  # lost a concurrent race: another writer won
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     return embedding_cosine_pairs_blocked(feat_dir, threshold=threshold,
                                           nlist=4, nassign=2, sample=n)

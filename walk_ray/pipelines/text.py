@@ -601,9 +601,12 @@ def decontaminate(sf_dir: str, every: int = DECON_EVERY,
                  .str.join(" "))
         return pd.DataFrame({"snip": pd.Series(snips, dtype="object")})
 
-    # bounded small side (≤ max_id/every rows): take_all is O(1), documented
+    # bounded small side (≤ max_id/every rows): take_all is O(1), documented.
+    # Empty/whitespace-only snippets are dropped — an empty alternation
+    # branch matches EVERY document and would flag the whole corpus.
     snips = sorted({r["snip"] for r in
-                    snip_ds.map_batches(to_snips, batch_format="pandas").take_all()})
+                    snip_ds.map_batches(to_snips, batch_format="pandas").take_all()
+                    if r["snip"].strip()})
     rx = re.compile("|".join(re.escape(s) for s in snips)) if snips else None
 
     def flag(batch: pd.DataFrame) -> pd.DataFrame:
@@ -665,6 +668,56 @@ def repetition_stats(sf_dir: str):
 
 CLF_DIM = 65536  # hashed feature space (md5-prefix % CLF_DIM)
 
+# per-actor token→feature-index memo cap: web-scale vocabulary is
+# unbounded, so a long-lived actor's cache must not grow forever. The
+# factorize-per-batch already bounds per-call cost; past the cap the
+# memo is simply cleared (correctness is unaffected — md5 recomputes).
+CLF_CACHE_MAX = 262144
+
+
+class BoWScorer:
+    """The classifier_scores actor: deterministic hashed-BoW linear
+    model, weights built ONCE per actor in ``__init__`` (the seam where
+    a real .bin model load goes), scored vectorized per batch."""
+
+    def __init__(self):
+        i = np.arange(CLF_DIM, dtype=np.uint64)
+        self.w = ((i * np.uint64(2654435761)) % np.uint64(2**32)) \
+            .astype(np.float64) / 2.0**32 - 0.5
+        self.idx_cache: dict[str, int] = {}
+
+    def _idx(self, tok: str) -> int:
+        import hashlib
+
+        h = self.idx_cache.get(tok)
+        if h is None:
+            h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % CLF_DIM
+            self.idx_cache[tok] = h
+        return h
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch["text"].fillna("")
+        toks = texts.str.split().reset_index(drop=True)
+        n_tok = toks.str.len().to_numpy(dtype=np.int64)
+        ex = toks.explode().dropna()
+        di = ex.index.to_numpy(dtype=np.int64)
+        # hash only UNIQUE tokens (md5 is per-vocab-entry, not
+        # per-token): factorize → per-unique index → gather
+        codes, uniques = pd.factorize(ex.to_numpy())
+        uidx = np.fromiter((self._idx(t) for t in uniques),
+                           dtype=np.int64, count=len(uniques))
+        if len(self.idx_cache) > CLF_CACHE_MAX:
+            self.idx_cache.clear()
+        tw = self.w[uidx[codes]] if len(codes) else np.empty(0)
+        sums = np.zeros(len(toks), dtype=np.float64)
+        np.add.at(sums, di, tw)
+        logit = sums / np.maximum(n_tok, 1)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tok,
+            "score": np.round(1.0 / (1.0 + np.exp(-logit)), 6),
+        })
+
 
 def classifier_scores(sf_dir: str):
     """Quality-classifier scoring, the batched-model-inference shape:
@@ -672,57 +725,19 @@ def classifier_scores(sf_dir: str):
     every document. The "model" is a deterministic weight vector
     ``w[i] = ((i * 2654435761) % 2^32) / 2^32 - 0.5`` over a
     ``CLF_DIM``-dim md5-hashed token space — loaded ONCE per actor in
-    ``__init__`` (the seam where a real .bin model load goes), scored
-    vectorized per batch (unique-token hashing + one grouped sum).
+    ``__init__``, scored vectorized per batch (see :class:`BoWScorer`).
 
     ``score = sigmoid(mean token weight)``, rounded to 6 dp. Every
     step is SQL-expressible → DuckDB oracle (md5-prefix hashing and
     the weight formula run verbatim in SQL).
     """
-    import hashlib
-
-    class Scorer:
-        def __init__(self):
-            i = np.arange(CLF_DIM, dtype=np.uint64)
-            self.w = ((i * np.uint64(2654435761)) % np.uint64(2**32)) \
-                .astype(np.float64) / 2.0**32 - 0.5
-            self.idx_cache: dict[str, int] = {}
-
-        def _idx(self, tok: str) -> int:
-            h = self.idx_cache.get(tok)
-            if h is None:
-                h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:8], 16) % CLF_DIM
-                self.idx_cache[tok] = h
-            return h
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            texts = batch["text"].fillna("")
-            toks = texts.str.split().reset_index(drop=True)
-            n_tok = toks.str.len().to_numpy(dtype=np.int64)
-            ex = toks.explode().dropna()
-            di = ex.index.to_numpy(dtype=np.int64)
-            # hash only UNIQUE tokens (md5 is per-vocab-entry, not
-            # per-token): factorize → per-unique index → gather
-            codes, uniques = pd.factorize(ex.to_numpy())
-            uidx = np.fromiter((self._idx(t) for t in uniques),
-                               dtype=np.int64, count=len(uniques))
-            tw = self.w[uidx[codes]] if len(codes) else np.empty(0)
-            sums = np.zeros(len(toks), dtype=np.float64)
-            np.add.at(sums, di, tw)
-            logit = sums / np.maximum(n_tok, 1)
-            return pd.DataFrame({
-                "doc_id": batch["doc_id"],
-                "n_tokens": n_tok,
-                "score": np.round(1.0 / (1.0 + np.exp(-logit)), 6),
-            })
-
     # autoscaling pool (min 1 → a 4-CPU test session keeps CPUs free
     # for the upstream read; a fixed pool the size of the session
     # starves it) + coalesced batches: tiny parquet blocks would
     # otherwise become tiny batches (per-call overhead dominates); the
     # 512 KB weight vector lives once per actor, NOT once per batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Scorer, batch_format="pandas", concurrency=(1, 8), batch_size=2048)
+        BoWScorer, batch_format="pandas", concurrency=(1, 8), batch_size=2048)
 
 
 # ------------------------------------------- n-gram LM perplexity

@@ -1010,30 +1010,54 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64,
 
     import ray.data as rd
 
-    def to_chunks(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, cis, chunks, totals = [], [], [], []
-        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
-            words = t.split(" ")
-            n = (len(words) + chunk_words - 1) // chunk_words
-            for i in range(n):
-                ids.append(d)
-                cis.append(i + 1)
-                chunks.append(" ".join(words[i * chunk_words:(i + 1) * chunk_words]))
-                totals.append(n)
-        df = pd.DataFrame({
-            "doc_id": pd.Series(ids, dtype="int64"),
-            "ci": pd.Series(cis, dtype="int64"),
-            "chunk": pd.Series(chunks, dtype="object"),
-            "n_chunks_total": pd.Series(totals, dtype="int64"),
+    chunk_schema = pa.schema([
+        ("doc_id", pa.int64()), ("ci", pa.int64()), ("chunk", pa.string()),
+        ("n_chunks_total", pa.int64()), ("bucket", pa.int64()),
+    ])
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        # fully vectorized chunking, zero per-token Python: Arrow
+        # split_pattern explodes words into one flat values buffer;
+        # chunk boundaries are every chunk_words-th word offset, so a
+        # ListArray over the SAME values buffer re-groups words into
+        # chunks and binary_join renders chunk strings in C++. The only
+        # Python-level loop left is crc32 once per UNIQUE chunk.
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return chunk_schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = pc.fill_null(t["text"], "")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = pa.concat_arrays(texts.chunks) if texts.num_chunks != 1 \
+                else texts.chunk(0)
+        lists = pc.split_pattern(texts, " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        lens = np.diff(offs)                       # words per doc (>=1)
+        counts = (lens + chunk_words - 1) // chunk_words
+        doc_of = np.repeat(np.arange(len(ids)), counts)
+        ci = (np.arange(counts.sum(), dtype=np.int64)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+        starts = offs[:-1][doc_of] + ci * chunk_words
+        new_offs = np.append(starts, offs[-1]).astype(np.int32)
+        chunk_list = pa.ListArray.from_arrays(pa.array(new_offs, pa.int32()),
+                                              lists.values)
+        chunks = pc.binary_join(chunk_list, " ")
+        codes, uniq = pd.factorize(chunks.to_numpy(zero_copy_only=False))
+        ubuck = np.fromiter((crc32(c.encode()) for c in uniq),
+                            dtype=np.int64, count=len(uniq)) % n_buckets
+        return pa.table({
+            "doc_id": pa.array(ids[doc_of], pa.int64()),
+            "ci": pa.array(ci + 1, pa.int64()),
+            "chunk": chunks,
+            "n_chunks_total": pa.array(counts[doc_of], pa.int64()),
+            "bucket": pa.array(ubuck[codes], pa.int64()),
         })
-        df["bucket"] = [crc32(c.encode()) % n_buckets for c in df["chunk"]]
-        df["bucket"] = df["bucket"].astype("int64")
-        return df
 
     if docs is None:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    rows = docs.map_batches(to_chunks, batch_format="pandas")
+    rows = docs.map_batches(to_chunks, batch_format="pyarrow")
 
     win_schema = pa.schema([
         ("doc_id", pa.int64()), ("ci", pa.int64()), ("chunk", pa.string()),

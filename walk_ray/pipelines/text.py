@@ -278,24 +278,24 @@ _TFIDF_CACHE: dict[tuple, object] = {}
 
 def _term_rows(batch: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
     """Explode docs to (doc_id, term, tf) rows, bucketed by hash(term)
-    — one vectorized pandas groupby per batch, no per-token Python."""
+    — vectorized explode (no per-token Python loop), crc32 computed
+    once per UNIQUE term."""
     from zlib import crc32
 
     import numpy as np
 
-    ids, terms = [], []
-    for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
-        toks = t.split()
-        ids.extend([d] * len(toks))
-        terms.extend(toks)
-    if not ids:
+    texts = batch["text"].fillna("")
+    ids = batch["doc_id"].to_numpy(dtype=np.int64)
+    ex = texts.str.split().reset_index(drop=True).explode().dropna()
+    if not len(ex):
         return pd.DataFrame(
             {"doc_id": pd.Series([], dtype="int64"),
              "term": pd.Series([], dtype="object"),
              "tf": pd.Series([], dtype="int64"),
              "tbucket": pd.Series([], dtype="int64")})
     df = (
-        pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64), "term": terms})
+        pd.DataFrame({"doc_id": ids[ex.index.to_numpy(dtype=np.int64)],
+                      "term": ex.to_numpy()})
         .groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
     )
     uniq = df["term"].unique()
@@ -773,15 +773,21 @@ def lm_perplexity(sf_dir: str, n_buckets: int = 64):
     from ..stages.exchange import bucket_exchange
 
     def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, w1s, w2s = [], [], []
-        for d, t in zip(batch["doc_id"], batch["text"].fillna("")):
-            ws = t.split()
-            for i in range(len(ws) - 1):
-                ids.append(d)
-                w1s.append(ws[i])
-                w2s.append(ws[i + 1])
-        df = (pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                            "w1": w1s, "w2": w2s})
+        # vectorized explode + shift-align (the repetition_stats idiom):
+        # explode words once, a bigram is (word[j], word[j+1]) where
+        # both positions belong to the same doc — no per-token Python
+        texts = batch["text"].fillna("")
+        ids = batch["doc_id"].to_numpy(dtype=np.int64)
+        ex = texts.str.split().reset_index(drop=True).explode()
+        di = ex.index.to_numpy(dtype=np.int64)
+        dw = ex.to_numpy()
+        mask = np.empty(len(di), dtype=bool)
+        if len(di):
+            mask[:-1] = di[1:] == di[:-1]
+            mask[-1] = False
+        w2 = np.roll(dw, -1)
+        df = (pd.DataFrame({"doc_id": ids[di[mask]],
+                            "w1": dw[mask], "w2": w2[mask]})
               .groupby(["doc_id", "w1", "w2"], sort=False).size()
               .rename("k").reset_index())
         if not len(df):

@@ -96,7 +96,7 @@ def exact_dedup(sf_dir: str):
     )
 
 
-def dedup_keep_best(sf_dir: str, n_buckets: int = 64):
+def dedup_keep_best(sf_dir: str, n_buckets: int | None = None):
     """Quality-aware duplicate resolution: per exact-duplicate cluster
     (cluster = md5(text)) keep the copy with the HIGHEST quality score
     (tie → min doc_id) — the policy stage of a training-data dedup,
@@ -111,7 +111,11 @@ def dedup_keep_best(sf_dir: str, n_buckets: int = 64):
     from zlib import crc32
 
     from ..stages.exchange import bucket_exchange
+    from ..stages.sizing import auto_buckets
     from .text import quality_of
+
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
     schema = pa.schema([
         ("text_hash", pa.string()), ("doc_id", pa.int64()),
@@ -982,8 +986,8 @@ def embedding_dedup(sf_dir: str, threshold: float = 0.9, method: str = "ivf"):
 
 # --------------------------------------------- chunk-level exact dedup
 
-def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64,
-                docs=None):
+def chunk_dedup(sf_dir: str, chunk_words: int = 5,
+                n_buckets: int | None = None, docs=None):
     """CCNet-style chunk-level exact dedup with document reassembly:
     split every document into fixed ``chunk_words``-word chunks (the
     paragraph stand-in — the synthetic corpus has no newlines), keep
@@ -1009,6 +1013,11 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5, n_buckets: int = 64,
     from zlib import crc32
 
     import ray.data as rd
+
+    from ..stages.sizing import auto_buckets
+
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
     chunk_schema = pa.schema([
         ("doc_id", pa.int64()), ("ci", pa.int64()), ("chunk", pa.string()),

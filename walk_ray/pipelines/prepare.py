@@ -28,7 +28,7 @@ _SPLIT_BOUNDS = (("train", 900_000), ("val", 950_000), ("test", 1_000_000))
 
 
 def prepare_corpus(sf_dir: str, min_quality: float = PREP_MIN_QUALITY,
-                   chunk_words: int = 5, n_buckets: int = 64):
+                   chunk_words: int = 5, n_buckets: int | None = None):
     """documents → (doc_id, clean_text, n_chunks_kept, n_chunks_total,
     split) for every doc that (a) scores ≥ ``min_quality`` on the
     repo-wide clamped linear quality heuristic and (b) still owns at

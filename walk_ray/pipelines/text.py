@@ -304,7 +304,7 @@ def _term_rows(batch: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
     return df
 
 
-def tfidf_scores(sf_dir: str, n_buckets: int = 64):
+def tfidf_scores(sf_dir: str, n_buckets: int | None = None):
     """Corpus tf-idf: one row per (doc, term) with ``tf``, ``df`` and
     ``tfidf = round(tf * ln(N / df), 6)`` (N = corpus size, whitespace
     tokens, exact-match terms).
@@ -319,7 +319,10 @@ def tfidf_scores(sf_dir: str, n_buckets: int = 64):
     import pyarrow as pa
 
     from ..stages.exchange import bucket_exchange
+    from ..stages.sizing import auto_buckets
 
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
     key = (os.path.abspath(sf_dir), n_buckets)
     cached = _TFIDF_CACHE.get(key)
     if cached is not None:
@@ -352,7 +355,7 @@ def tfidf_scores(sf_dir: str, n_buckets: int = 64):
     return out
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int = 64):
+def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
     """Top-``k`` terms per document by tf-idf (rank 1..k; ties break on
     term ascending, ordering on the ROUNDED score so the ranking is
     engine-independent). Second co-partition by ``hash(doc_id)`` — all
@@ -360,7 +363,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int = 64):
     import pyarrow as pa
 
     from ..stages.exchange import bucket_exchange
+    from ..stages.sizing import auto_buckets
 
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
     scores = tfidf_scores(sf_dir, n_buckets)
 
     def add_dbucket(batch: pd.DataFrame) -> pd.DataFrame:
@@ -461,7 +467,8 @@ def stratified_sample(sf_dir: str,
 
 # --- sequence packing ---------------------------------------------------
 
-def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 64):
+def pack_sequences(sf_dir: str, budget: int = 2048,
+                   n_buckets: int | None = None):
     """Greedy next-fit packing of documents into fixed token budgets —
     the batch-assembly stage of a training-data pipeline (docs
     concatenate into ~budget-token training sequences).
@@ -484,6 +491,10 @@ def pack_sequences(sf_dir: str, budget: int = 2048, n_buckets: int = 64):
     import pyarrow as pa
 
     from ..stages.exchange import bucket_exchange
+    from ..stages.sizing import auto_buckets
+
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
     def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(dtype="int64")
@@ -747,7 +758,7 @@ LM_SMOOTH = 4096.0  # constant additive-smoothing denominator (fixed →
                     # vocab-size scalar round-trip)
 
 
-def lm_perplexity(sf_dir: str, n_buckets: int = 64):
+def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
     """Corpus bigram-LM perplexity per document — the CCNet-shaped
     quality signal (docs unlike the corpus score high). The LM is
     trained ON the corpus and scored over it in one distributed
@@ -771,6 +782,10 @@ def lm_perplexity(sf_dir: str, n_buckets: int = 64):
     import pyarrow as pa
 
     from ..stages.exchange import bucket_exchange
+    from ..stages.sizing import auto_buckets
+
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
     def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
         # vectorized explode + shift-align (the repetition_stats idiom):

@@ -137,7 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": lambda sf: dedup.minhash_lsh_dedup(
             sf, ngram=1, threshold=JACCARD_THRESHOLD
         ),  # rows-only (LSH is approximate)
-        "simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),  # rows-only
+        "simhash_dedup": lambda sf: dedup.simhash_dedup(sf, max_hamming=3),
         # oracle-checked end-to-end: IVF-blocked pairs + distributed
         # min-label CC vs DuckDB exact pairs + recursive-CTE closure
         "embedding_dedup": lambda sf: dedup.embedding_dedup(
@@ -590,6 +590,45 @@ def oracle_sql() -> dict[str, str]:
                    MIN(doc_id) AS doc_id,
                    COUNT(*) AS n_copies
             FROM documents GROUP BY md5(text)""",
+        # the WHOLE simhash pipeline recomputed in SQL: md5-prefix
+        # 64-bit word digests (simhash bit i weighs digest bit 63-i,
+        # the np.unpackbits layout), tf-weighted sign per bit, then the
+        # exact Hamming<=3 pair set via bit_count(xor())
+        "simhash_dedup": r"""
+            WITH wc AS (
+                SELECT doc_id, w, COUNT(*) AS cnt
+                FROM (SELECT doc_id,
+                             unnest(string_split_regex(
+                                 trim(COALESCE(text, '')), '\s+')) AS w
+                      FROM documents
+                      WHERE trim(COALESCE(text, '')) <> '')
+                GROUP BY doc_id, w
+            ), wh AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(w), 1, 16)) AS UBIGINT) AS h,
+                       cnt
+                FROM wc
+            ), acc AS (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN (h >> (63 - i)) & 1 = 1
+                                THEN cnt ELSE -cnt END) AS s
+                FROM wh, (SELECT unnest(generate_series(0, 63)) AS i)
+                GROUP BY doc_id, i
+            ), sh0 AS (
+                SELECT doc_id,
+                       CAST(SUM(CASE WHEN s > 0
+                                THEN CAST(CAST(1 AS UBIGINT) << i AS HUGEINT)
+                                ELSE 0 END) AS UBIGINT) AS simhash
+                FROM acc GROUP BY doc_id
+            ), sh AS (
+                SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+                FROM documents d LEFT JOIN sh0 s USING (doc_id)
+            )
+            SELECT x.doc_id AS a, y.doc_id AS b,
+                   CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT)
+                       AS hamming
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+            WHERE bit_count(xor(x.simhash, y.simhash)) <= 3""",
         "unigram_jaccard_pairs": f"""
             WITH grams AS (
                 SELECT doc_id, list_distinct({_WORDS}) AS g FROM documents

@@ -523,7 +523,15 @@ def minhash_lsh_dedup(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
 # -------------------------------------------------------------- simhash
 
 class SimHasher:
-    """64-bit simhash over whitespace tokens (term-frequency weights)."""
+    """64-bit simhash over whitespace tokens (term-frequency weights).
+
+    The per-word digest is the first 8 bytes of md5 (big-endian) —
+    md5 specifically so the WHOLE pipeline is recomputable in DuckDB
+    (``CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT)``), which is what
+    makes ``simhash_dedup`` oracle-checkable end to end. Output bit
+    ``i`` is set iff the tf-weighted sum over word-digest bit
+    ``(63 - i)`` is positive (the layout np.unpackbits gives a
+    big-endian byte view)."""
 
     def __init__(self):
         pass
@@ -534,17 +542,16 @@ class SimHasher:
         if not words:
             return 0
         uniq, counts = np.unique(words, return_counts=True)
-        digests = np.frombuffer(
-            b"".join(hashlib.blake2b(w.encode(), digest_size=8).digest() for w in uniq),
-            dtype=np.uint8,
-        ).reshape(len(uniq), 8)
-        bits = np.unpackbits(digests, axis=1).astype(np.int64)  # (W, 64)
-        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
-        out = 0
-        for i, v in enumerate(acc):
-            if v > 0:
-                out |= 1 << i
-        return out
+        hs = np.fromiter(
+            (int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in uniq),
+            dtype=np.uint64, count=len(uniq))
+        shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)  # (64,)
+        set_bits = np.nonzero(acc > 0)[0].astype(np.uint64)
+        if not len(set_bits):
+            return 0
+        return int(np.bitwise_or.reduce(np.uint64(1) << set_bits))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         hs = [self.simhash(t) for t in batch["text"].fillna("")]

@@ -84,3 +84,30 @@ def test_stratified_sample_rates_and_determinism():
         pq.write_table(half_tbl, os.path.join(td, "documents.parquet"))
         half_kept = set(stratified_sample(td).to_pandas()["doc_id"])
     assert half_kept == set(a["doc_id"]) & half_ids
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tfidf_cache_invalidates_on_corpus_change(tmp_path):
+    """Round-4 advisory: the scores cache must miss when the parquet at
+    the same path is regenerated (key carries file mtime+size)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from walk_ray.pipelines.text import tfidf_scores
+
+    p = str(tmp_path / "documents.parquet")
+
+    def write(texts):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())}), p)
+
+    write(["alpha beta", "alpha gamma"])
+    t1 = set(tfidf_scores(str(tmp_path), n_buckets=4).to_pandas()["term"])
+    assert "alpha" in t1 and "zeta" not in t1
+    write(["zeta eta", "zeta theta"])
+    os.utime(p, ns=(1, 1))  # force a distinct mtime even on fast FS
+    t2 = set(tfidf_scores(str(tmp_path), n_buckets=4).to_pandas()["term"])
+    assert "zeta" in t2 and "alpha" not in t2

@@ -272,9 +272,34 @@ def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
 # tfidf_top_terms need it; the output rides in the object store as
 # already-computed arrow refs (bucket_exchange returns from_arrow_refs),
 # so caching the Dataset shares one exchange across queries in a
-# session. Keyed by (corpus path, bucket count) — both are semantic
-# inputs to the row set.
+# session. The key carries everything the cached rows depend on:
+# corpus path + bucket count (semantic inputs), a file fingerprint
+# (mtime+size per shard — a regenerated corpus at the same path must
+# miss), and the Ray job id (after ray.shutdown()/ray.init() the cached
+# Dataset's object refs are dead — a new session must miss).
 _TFIDF_CACHE: dict[tuple, object] = {}
+
+
+def _tfidf_cache_key(sf_dir: str, n_buckets: int):
+    """Cache key for the scores exchange, or ``None`` when Ray isn't
+    initialized (a cached Dataset can't be valid then)."""
+    import glob as _glob
+
+    import ray
+
+    if not ray.is_initialized():
+        return None
+    path = f"{sf_dir}/documents.parquet"
+    files = (sorted(_glob.glob(os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+             if os.path.isdir(path) else [path])
+    try:
+        fp = tuple((f, os.stat(f).st_mtime_ns, os.stat(f).st_size)
+                   for f in files)
+    except OSError:
+        return None
+    return (os.path.abspath(sf_dir), n_buckets, fp,
+            ray.get_runtime_context().get_job_id())
 
 def _term_rows(batch: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
     """Explode docs to (doc_id, term, tf) rows, bucketed by hash(term)
@@ -323,8 +348,8 @@ def tfidf_scores(sf_dir: str, n_buckets: int | None = None):
 
     if n_buckets is None:
         n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
-    key = (os.path.abspath(sf_dir), n_buckets)
-    cached = _TFIDF_CACHE.get(key)
+    key = _tfidf_cache_key(sf_dir, n_buckets)
+    cached = _TFIDF_CACHE.get(key) if key is not None else None
     if cached is not None:
         return cached
 
@@ -351,7 +376,11 @@ def tfidf_scores(sf_dir: str, n_buckets: int | None = None):
     rows = docs.map_batches(
         lambda b: _term_rows(b, n_buckets), batch_format="pandas")
     out = bucket_exchange([(rows, "tbucket")], n_buckets, score_bucket)
-    _TFIDF_CACHE[key] = out
+    # re-key after the build: bucket_exchange initialized Ray if it
+    # wasn't up at entry, so the key is computable now
+    key = _tfidf_cache_key(sf_dir, n_buckets)
+    if key is not None:
+        _TFIDF_CACHE[key] = out
     return out
 
 

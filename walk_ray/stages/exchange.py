@@ -36,7 +36,17 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["bucket_exchange"]
+__all__ = ["bucket_exchange", "MAX_DRIVER_REFS"]
+
+# Driver-metadata bound for the split side: the single-level exchange
+# holds one ObjectRef per (input block × bucket) on the driver. Past
+# this count, blocks are GROUPED and one task splits a whole group
+# (reads its blocks from plasma, emits n_buckets pre-concatenated
+# sub-tables), so driver refs collapse to (blocks/group × buckets).
+# 2^20 refs ≈ 90 MB of driver metadata (~85 B/ref) — comfortable; at
+# the auto-bucket policy (sizing.py: ≤4096 buckets) this supports
+# ≥256 ungrouped input blocks per input and any count grouped.
+MAX_DRIVER_REFS = 1 << 20
 
 
 def _split_impl(table: pa.Table, n_buckets: int, key_cols, schema: pa.Schema):
@@ -56,6 +66,24 @@ def _split_impl(table: pa.Table, n_buckets: int, key_cols, schema: pa.Schema):
     return out[0] if n_buckets == 1 else out
 
 
+def _split_group_impl(n_buckets: int, key_cols, schema: pa.Schema, *tables):
+    """Staged split: one task handles a GROUP of input blocks — split
+    each, pre-concat per bucket — so the driver holds n_buckets refs
+    per group instead of per block. The concat work is the same the
+    reduce side would do; it just happens one tree level earlier."""
+    per_block = [_split_impl(t, n_buckets, key_cols, schema) for t in tables]
+    if n_buckets == 1:
+        per_block = [(p,) for p in per_block]
+    out = []
+    for b in range(n_buckets):
+        chunk = [p[b] for p in per_block if p[b].num_rows]
+        if chunk:
+            out.append(pa.concat_tables(chunk, promote_options="default"))
+        else:
+            out.append(per_block[0][b])  # empty, carries a schema
+    return tuple(out) if n_buckets > 1 else out[0]
+
+
 def _reduce_impl(fn, bucket_id: int, n_inputs: int, counts, *parts):
     """One bucket: concat each input's slices, apply ``fn``."""
     tables = []
@@ -70,7 +98,8 @@ def _reduce_impl(fn, bucket_id: int, n_inputs: int, counts, *parts):
     return fn(bucket_id, *tables)
 
 
-def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None):
+def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None,
+                    max_driver_refs: int | None = None):
     """Co-partition one or more datasets by a precomputed bucket column
     and apply ``reduce_fn`` once per bucket.
 
@@ -81,13 +110,21 @@ def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None):
     ``pa.Table``. Runs as a plain Ray task — it must be a module-level
     function or small closure (it is pickled once per bucket).
     ``schemas``: optional per-input schemas for typed empty blocks.
+    ``max_driver_refs``: driver-metadata bound (default
+    :data:`MAX_DRIVER_REFS`); when blocks × buckets would exceed it,
+    the split side runs STAGED — one task per block GROUP returning
+    pre-concatenated per-bucket sub-tables — so driver refs stay
+    bounded at any input block count (SCALE.md §exchange).
 
     Returns a ``ray.data.Dataset`` of the concatenated reduce outputs.
     """
     import ray
     import ray.data as rd
 
+    if max_driver_refs is None:
+        max_driver_refs = MAX_DRIVER_REFS
     split = ray.remote(_split_impl)
+    split_group = ray.remote(_split_group_impl)
     reduce_ = ray.remote(_reduce_impl)
 
     per_input_refs = []
@@ -95,10 +132,20 @@ def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None):
         schema = None if schemas is None else schemas[idx]
         block_refs = ds.to_arrow_refs() if hasattr(ds, "to_arrow_refs") else list(ds)
         refs = []
-        for r in block_refs:
-            s = split.options(num_returns=n_buckets if n_buckets > 1 else None).remote(
-                r, n_buckets, (col,), schema)
-            refs.append([s] if n_buckets == 1 else s)
+        group_size = -(-len(block_refs) * n_buckets // max(max_driver_refs, n_buckets))
+        if group_size > 1:
+            for lo in range(0, len(block_refs), group_size):
+                s = split_group.options(
+                    num_returns=n_buckets if n_buckets > 1 else None,
+                ).remote(n_buckets, (col,), schema,
+                         *block_refs[lo:lo + group_size])
+                refs.append([s] if n_buckets == 1 else s)
+        else:
+            for r in block_refs:
+                s = split.options(
+                    num_returns=n_buckets if n_buckets > 1 else None,
+                ).remote(r, n_buckets, (col,), schema)
+                refs.append([s] if n_buckets == 1 else s)
         per_input_refs.append(refs)
 
     counts = tuple(len(refs) for refs in per_input_refs)

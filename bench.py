@@ -293,6 +293,66 @@ def run_scaling() -> dict:
     }
 
 
+def run_volume() -> dict:
+    """The hygiene suite at volume (round-4 verdict item 3): a
+    deterministic ~5M-doc corpus (1000× the sf0.1 documents table,
+    ~1.5 GB text, 20 parquet shards, 5% exact + 2% near dup structure
+    from ``sources/docgen.py``), through the three headline corpus
+    ops end to end with auto-derived bucket counts.
+
+    Env: VOLUME_DOCS (default 5_000_000), VOLUME_DIR (default
+    /tmp/walk_ray_volume/docs_<n>)."""
+    import ray
+
+    from walk_ray.sources.docgen import generate_documents
+
+    n_docs = int(os.environ.get("VOLUME_DOCS", "5000000"))
+    vol_dir = os.environ.get("VOLUME_DIR",
+                             f"/tmp/walk_ray_volume/docs_{n_docs}")
+    t0 = time.monotonic()
+    generate_documents(vol_dir, n_docs=n_docs)
+    gen_sec = round(time.monotonic() - t0, 1)
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from walk_ray.pipelines import dedup, prepare, text
+    from walk_ray.stages.sizing import auto_buckets, parquet_uncompressed_bytes
+
+    tbl = f"{vol_dir}/documents.parquet"
+    ops = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        ds = fn()
+        rows = ds.count() if hasattr(ds, "count") else len(ds)
+        ops[name] = {"sec": round(time.monotonic() - t0, 2), "rows": int(rows)}
+
+    t0 = time.monotonic()
+    run("prepare_corpus", lambda: prepare.prepare_corpus(vol_dir))
+    run("lm_perplexity", lambda: text.lm_perplexity(vol_dir))
+    run("minhash_lsh_dedup",
+        lambda: dedup.minhash_lsh_dedup(vol_dir, ngram=3, threshold=0.5))
+    total = round(time.monotonic() - t0, 2)
+    out = {
+        "metric": "hygiene suite at volume (prepare/lm_ppl/minhash), sec",
+        "value": total,
+        "unit": "sec",
+        "n_docs": n_docs,
+        "table_bytes_encoded": parquet_uncompressed_bytes(tbl),
+        "auto_buckets": auto_buckets(tbl),
+        "gen_sec": gen_sec,
+        "ops": ops,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def run_stats(name: str) -> None:
     """Execute one queries() entry and print its Ray Data stage stats
     (`ds.stats()`) — the per-stage wall/cpu/output evidence used to
@@ -325,6 +385,8 @@ def run_stats(name: str) -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--volume" in sys.argv:
+        print(json.dumps(run_volume()))
     elif "--stats" in sys.argv:
         i = sys.argv.index("--stats") + 1
         if i >= len(sys.argv):

@@ -11,6 +11,8 @@ dedup shuffle.
 
 import itertools
 
+import pandas as pd
+
 import pytest
 
 from walk_ray.pipelines import dedup
@@ -87,3 +89,18 @@ def test_embedding_ivf_blocked_agrees_with_exact():
     assert p <= ep
     assert len(p) / max(len(ep), 1) >= 0.95
     assert not pairs.duplicated(["a", "b"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_plans_agree():
+    """The two physical plans (sig-on-band single exchange vs skinny
+    three-exchange) must emit the identical pair set with identical
+    est values — plan choice is a size threshold, not semantics."""
+    a = (dedup.minhash_lsh_pairs(SF, plan="sig-on-band").to_pandas()
+         .sort_values(["a", "b"]).reset_index(drop=True))
+    b = (dedup.minhash_lsh_pairs(SF, plan="skinny").to_pandas()
+         .sort_values(["a", "b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    with pytest.raises(ValueError):
+        dedup.minhash_lsh_pairs(SF, plan="bogus")

@@ -196,9 +196,90 @@ class MinHasher:
             vals = self.a[:, None] * h[None, :] + self.b[:, None]  # (P, S) u64 wrap
         return vals.min(axis=1)
 
+    def _batch_shingle_rows(self, texts: pd.Series):
+        """Vectorized shingling for a whole batch: explode words once,
+        shift-align ``ngram`` columns to form shingles, dedup within
+        doc, blake2b once per UNIQUE shingle in the batch (shingles
+        repeat heavily across docs — per-doc hashing recomputes them).
+        Returns (doc_row_idx sorted asc, shingle_hash) arrays."""
+        n = self.ngram
+        words = texts.str.split().reset_index(drop=True)
+        ex = words.explode()
+        di = ex.index.to_numpy(dtype=np.int64)
+        dw = ex.to_numpy()
+        L = len(di)
+        valid = ~pd.isna(dw)  # empty docs explode to one NaN row
+        for k in range(1, n):
+            nxt = np.zeros(L, dtype=bool)
+            if L > k:
+                nxt[:L - k] = di[k:] == di[:L - k]
+            valid &= nxt
+        starts = np.nonzero(valid)[0]
+        sh = dw[starts].copy()
+        for k in range(1, n):
+            sh = sh + " "
+            sh = sh + dw[starts + k]
+        rows = di[starts]
+        # docs with 0 < len(words) < ngram get ONE whole-doc shingle
+        # (the _word_ngrams short-doc rule); empty docs get none
+        lens = words.str.len().to_numpy(dtype=np.int64)
+        short = np.nonzero((lens > 0) & (lens < n))[0]
+        if len(short):
+            short_sh = words.iloc[short].str.join(" ").to_numpy()
+            rows = np.concatenate([rows, short])
+            sh = np.concatenate([sh, short_sh])
+            order = np.argsort(rows, kind="stable")
+            rows, sh = rows[order], sh[order]
+        if not len(rows):
+            return rows, np.empty(0, dtype=np.uint64)
+        # within-doc set semantics, then hash once per batch-unique
+        df = pd.DataFrame({"r": rows, "s": sh}).drop_duplicates()
+        codes, uniq = pd.factorize(df["s"].to_numpy())
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8)
+                            .digest(), "big") >> 3 for s in uniq),
+            dtype=np.uint64, count=len(uniq))
+        return df["r"].to_numpy(dtype=np.int64), uh[codes]
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = [self.signature(t) for t in batch["text"].fillna("")]
-        return pd.DataFrame({"doc_id": batch["doc_id"], "sig": [s.tolist() for s in sigs]})
+        texts = batch["text"].fillna("")
+        rows, h = self._batch_shingle_rows(texts)
+        D = len(batch)
+        sig = np.full((D, self.num_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        if len(rows):
+            # per-doc min over each permutation: segment-min at doc
+            # boundaries (rows are doc-sorted), chunked so the (P, S)
+            # permutation matrix stays ~32 MB
+            seg_starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+            doc_of_seg = rows[seg_starts]
+            nseg = len(seg_starts)
+            # (P, ROWCAP) u64 = 8 MB at P=128: keep the permutation
+            # matrix L3-resident — a DRAM-sized chunk measured 20×
+            # slower — and reuse one buffer (no temporaries)
+            ROWCAP = 8192
+            buf = np.empty((self.num_perm, ROWCAP * 2), dtype=np.uint64)
+            i = 0
+            with np.errstate(over="ignore"):
+                while i < nseg:
+                    j = i + 1
+                    while (j < nseg
+                           and seg_starts[j] - seg_starts[i] < ROWCAP):
+                        j += 1
+                    lo_row = int(seg_starts[i])
+                    hi_row = int(seg_starts[j]) if j < nseg else len(rows)
+                    w = hi_row - lo_row
+                    v = (buf[:, :w] if w <= buf.shape[1]
+                         else np.empty((self.num_perm, w), np.uint64))
+                    np.multiply(self.a[:, None], h[None, lo_row:hi_row],
+                                out=v)
+                    v += self.b[:, None]
+                    mins = np.minimum.reduceat(
+                        v, seg_starts[i:j] - lo_row, axis=1)
+                    sig[doc_of_seg[i:j]] = mins.T
+                    i = j
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "sig": [s.tolist() for s in sig]})
 
 
 def minhash_signatures(sf_dir: str, num_perm: int = 128, ngram: int = 3):
@@ -209,101 +290,107 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128, ngram: int = 3):
     )
 
 
-def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
-                      threshold: float = 0.5):
-    """Banded-LSH candidate pairs with signature-estimated Jaccard ≥
-    ``threshold``: (a, b, est_jaccard), deduplicated across bands.
+SIG_ON_BAND_MAX_BYTES = 4 << 30  # plan switch: see minhash_lsh_pairs
 
-    100-TB shape: the full signature rides ON each band row
-    (fixed-width ``num_perm × 8`` bytes), so every LSH bucket verifies
-    its candidate pairs locally inside ``map_groups`` — no driver
-    materialization, no signature broadcast, and the signature dataset
-    is computed exactly once (the band stage is its only consumer).
-    The only wide step is the band groupby; what it moves is
-    (doc_id, band_hash, sig_bytes), never text.
-    """
+
+def _docs_rows(sf_dir: str) -> int:
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    files = (sorted(_glob.glob(_os.path.join(path, "**", "*.parquet"),
+                               recursive=True))
+             if _os.path.isdir(path) else [path])
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
+def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
+                           threshold: float, nparts: int):
+    """Small-corpus plan: the full signature rides on every band row
+    and ONE exchange verifies inline (est + exact first-band
+    ownership). Optimal while docs x bands x sig_bytes fits the object
+    store comfortably; at volume the 32x amplification spills — the
+    skinny plan takes over (see minhash_lsh_pairs)."""
     rows_per_band = num_perm // bands
-    # LSH buckets hash into a bounded number of verify PARTITIONS: the
-    # groupby then has ≤ NPARTS groups instead of one per (band, hash)
-    # — most band hashes are singletons, and per-group map_groups
-    # overhead on ~1 row/group otherwise dominates the whole pipeline.
-    NPARTS = 64
-    sigs = minhash_signatures(sf_dir, num_perm, ngram)
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, band_ids, band_hashes, sig_bytes, buckets = [], [], [], [], []
-        for doc, sig in zip(batch["doc_id"], batch["sig"]):
-            s = np.asarray(sig, dtype=np.uint64)
-            raw = s.tobytes()
-            for b in range(bands):
-                chunk = s[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                band_hashes.append(h)
-                buckets.append((int(h[:8], 16) * bands + b) % NPARTS)
-                band_ids.append(b)
-                doc_ids.append(doc)
-                sig_bytes.append(raw)
+        D = len(batch)
+        if not D:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "band_id": pd.Series([], dtype="int64"),
+                 "band_hash": pd.Series([], dtype="uint64"),
+                 "bucket": pd.Series([], dtype="int64"),
+                 "sig": pd.Series([], dtype="object")})
+        M = np.vstack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+        C = M.reshape(D, bands, rows_per_band)
+        P1 = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            x = C[:, :, 0] * P1
+            for k in range(1, rows_per_band):
+                x = (x ^ C[:, :, k]) * P1
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(29)
+            band_ids = np.tile(np.arange(bands, dtype=np.uint64), D)
+            bucket = ((x.reshape(-1) * np.uint64(bands) + band_ids)
+                      % np.uint64(nparts)).astype(np.int64)
+        raw = np.array([m.tobytes() for m in M], dtype=object)
         return pd.DataFrame(
-            {"doc_id": doc_ids, "band_id": band_ids, "band_hash": band_hashes,
-             "bucket": buckets, "sig": sig_bytes}
-        )
+            {"doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+             "band_id": band_ids.astype(np.int64),
+             "band_hash": x.reshape(-1),
+             "bucket": bucket,
+             "sig": np.repeat(raw, bands)})
 
     def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
-        """Verify every LSH bucket that hashed into this partition.
-
-        Buckets resolve via a vectorized boundary walk over rows
-        sorted by (band_id, band_hash); singleton buckets (the vast
-        majority) are skipped wholesale. Within a colliding bucket,
-        est-Jaccard filters pairs using the signatures carried on the
-        rows, and a pair is emitted only when the current band is the
-        FIRST band its signatures collide in — output pairs are
-        globally unique with no pair-dedup shuffle.
-        """
+        """In-bucket verify: TRUE chunk equality at the current band,
+        exact first-band ownership (pairs emit once, globally), inline
+        est filter — nothing but final pairs leaves the partition."""
         empty = pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
-             "est_jaccard": pd.Series([], dtype="float64")}
-        )
-        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+            {"a": pd.Series([], dtype="int64"),
+             "b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values(["band_id", "band_hash", "doc_id"],
+                          kind="mergesort")
         g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
-        codes, _ = pd.factorize(
-            g["band_id"].astype(str) + ":" + g["band_hash"], sort=False
-        )
-        bounds = np.flatnonzero(np.r_[True, np.diff(codes) != 0, True])
+        band_np = g["band_id"].to_numpy()
+        hash_np = g["band_hash"].to_numpy()
+        bounds = np.flatnonzero(np.r_[
+            True,
+            (band_np[1:] != band_np[:-1]) | (hash_np[1:] != hash_np[:-1]),
+            True])
         sizes = np.diff(bounds)
         doc_arr = g["doc_id"].to_numpy()
         sig_arr = g["sig"].to_numpy()
-        band_arr = g["band_id"].to_numpy()
-        # hot buckets emit millions of pairs: collect numpy chunks and
-        # concatenate once, never a per-pair Python append
-        out_a: list[np.ndarray] = []
-        out_b: list[np.ndarray] = []
-        out_j: list[np.ndarray] = []
+        out_a, out_b, out_j = [], [], []
         for gi in np.nonzero(sizes >= 2)[0]:
-            lo, hi = bounds[gi], bounds[gi + 1]
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
             ids = doc_arr[lo:hi].astype(np.int64)
-            band = int(band_arr[lo])
-            mat = np.stack([np.frombuffer(s, dtype=np.uint64) for s in sig_arr[lo:hi]])
-            # chunk view for the ownership (first-colliding-band) test
+            band = int(band_np[lo])
+            mat = np.stack([np.frombuffer(s, dtype=np.uint64)
+                            for s in sig_arr[lo:hi]])
             C = mat.reshape(len(ids), bands, rows_per_band)
             for i in range(len(ids) - 1):
-                tail = mat[i + 1 :]
-                if band > 0:
-                    # cheap kill: pairs whose band-0 chunks are equal
-                    # belong to band 0's bucket (most pairs, on
-                    # dup-heavy data) — 4 ops instead of num_perm
-                    alive = ~(C[i, 0][None, :] == C[i + 1 :, 0]).all(axis=1)
+                # true equality at THIS band (bucket key is a
+                # non-crypto hash: membership only gathers candidates)
+                alive = (C[i, band][None, :] == C[i + 1:, band]).all(axis=1)
+                if band > 0 and alive.any():
+                    # ownership: kill pairs owned by an earlier band
+                    alive &= ~(C[i, 0][None, :]
+                               == C[i + 1:, 0]).all(axis=1)
                     if band > 1:
                         surv = np.nonzero(alive)[0]
                         if len(surv):
-                            # full earlier-band check on the few survivors
-                            ec = (C[i, 1:band][None] == C[i + 1 :, 1:band][surv]).all(axis=2)
+                            ec = (C[i, 1:band][None]
+                                  == C[i + 1:, 1:band][surv]).all(axis=2)
                             alive[surv[ec.any(axis=1)]] = False
-                    cand = np.nonzero(alive)[0]
-                    if not len(cand):
-                        continue
-                else:
-                    cand = np.arange(len(tail))
-                comp = mat[i] == tail[cand]  # (n_cand, num_perm)
+                cand = np.nonzero(alive)[0]
+                if not len(cand):
+                    continue
+                comp = mat[i] == mat[i + 1:][cand]
                 eq = comp.mean(axis=1)
                 sel = np.nonzero(eq >= threshold)[0]
                 if len(sel):
@@ -312,22 +399,289 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
                     out_j.append(np.round(eq[sel], 6))
         if not out_a:
             return empty
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
-             "est_jaccard": np.concatenate(out_j)}
-        )
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "est_jaccard": np.concatenate(out_j)})
 
     def verify_reduce(_b: int, t):
         if t is None or t.num_rows == 0:
             return _PAIRS_EST_SCHEMA.empty_table()
         return pa.Table.from_pandas(verify_partition(t.to_pandas()),
-                                    preserve_index=False).cast(_PAIRS_EST_SCHEMA)
+                                    preserve_index=False).cast(
+                                        _PAIRS_EST_SCHEMA)
 
-    # bucket exchange instead of groupby(bucket).map_groups: the keys
-    # are already dense bucket ids, so the sort-based shuffle's ~5 s
-    # fixed cost buys nothing (see stages/exchange.py)
     band_ds = sigs.map_batches(band_rows, batch_format="pandas")
-    return bucket_exchange([(band_ds, "bucket")], NPARTS, verify_reduce)
+    return bucket_exchange([(band_ds, "bucket")], nparts, verify_reduce)
+
+
+def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
+                      threshold: float = 0.5, plan: str | None = None):
+    """Banded-LSH candidate pairs with signature-estimated Jaccard >=
+    ``threshold``: (a, b, est_jaccard), deduplicated across bands.
+
+    TWO physical plans, one semantic result (chosen like a broadcast-
+    vs-shuffle join threshold; round-5 volume-run finding):
+
+    - ``sig-on-band`` (small corpora): the full signature rides on
+      every band row, ONE exchange verifies inline with exact
+      first-band ownership. Optimal until the ``bands``-fold signature
+      amplification (docs × bands × num_perm × 8 B; 17.5 GB at 500k
+      docs) spills the object store.
+    - ``skinny`` (volume): three skinny exchanges, the shape
+      ``ngram_jaccard_pairs(exact=False)`` uses. Band rows carry only
+      ids + the band's raw chunk (64 B); identical-signature pairs
+      (``hall`` full-sig hash) emit est=1.0 inline from band 0;
+      differing-sig candidates join signatures once per pair
+      partition (pairs-bounded, not corpus × bands) where est and
+      global dedup complete. 125 s → 18 s at 500k docs.
+
+    Emitted pair set and est values are plan-independent and equal to
+    round 4's (pair iff some band's chunk truly equal AND est >=
+    threshold) — pinned by ``test_minhash_plans_agree``.
+    """
+    rows_per_band = num_perm // bands
+    # LSH (band, hash) groups hash into a bounded number of verify
+    # PARTITIONS (most groups are singletons; per-group task overhead
+    # would dominate otherwise)
+    NPARTS = 64
+    sigs = minhash_signatures(sf_dir, num_perm, ngram)
+
+    if plan is None:
+        band_bytes = _docs_rows(sf_dir) * bands * (num_perm * 8 + 32)
+        plan = ("sig-on-band" if band_bytes <= SIG_ON_BAND_MAX_BYTES
+                else "skinny")
+    if plan == "sig-on-band":
+        return _lsh_pairs_sig_on_band(sigs, num_perm, bands, threshold,
+                                      NPARTS)
+    if plan != "skinny":
+        raise ValueError(f"unknown plan {plan!r}")
+
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        """One row per (doc, band), fully vectorized, 64 B skinny. The
+        band key is a non-cryptographic u64 mix of the band's chunk —
+        it only GATHERS candidates; equality is decided on the real
+        chunk columns, so a key collision can only waste a comparison,
+        never change the pair set."""
+        D = len(batch)
+        if not D:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "band_id": pd.Series([], dtype="int64"),
+                 "band_hash": pd.Series([], dtype="uint64"),
+                 "h0": pd.Series([], dtype="uint64"),
+                 "hall": pd.Series([], dtype="uint64"),
+                 "bucket": pd.Series([], dtype="int64"),
+                 **{f"c{k}": pd.Series([], dtype="uint64")
+                    for k in range(rows_per_band)}})
+        M = np.vstack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+        C = M.reshape(D, bands, rows_per_band)
+        P1 = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            x = C[:, :, 0] * P1
+            for k in range(1, rows_per_band):
+                x = (x ^ C[:, :, k]) * P1
+            x ^= x >> np.uint64(33)
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(29)
+            # hall: a u64 mix of the WHOLE signature. Pairs with equal
+            # hall have identical sigs (same 64-bit-proxy confidence as
+            # band_hash itself) → est is exactly 1.0 with no sig join
+            hall = M[:, 0] * P1
+            for k in range(1, num_perm):
+                hall = (hall ^ M[:, k]) * P1
+            hall ^= hall >> np.uint64(33)
+            hall *= np.uint64(0xFF51AFD7ED558CCD)
+            hall ^= hall >> np.uint64(29)
+            band_ids = np.tile(np.arange(bands, dtype=np.uint64), D)
+            bucket = ((x.reshape(-1) * np.uint64(bands) + band_ids)
+                      % np.uint64(NPARTS)).astype(np.int64)
+        out = {"doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
+               "band_id": band_ids.astype(np.int64),
+               "band_hash": x.reshape(-1),
+               # band-0 key rides on every row: bands > 0 suppress any
+               # pair already equal at band 0 (identical-sig dup
+               # clusters collide in EVERY band — without this they
+               # ship each pair ~bands times into the global dedup)
+               "h0": np.repeat(x[:, 0], bands),
+               "hall": np.repeat(hall, bands),
+               "bucket": bucket}
+        for k in range(rows_per_band):
+            out[f"c{k}"] = C[:, :, k].reshape(-1)
+        return pd.DataFrame(out)
+
+    cand_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("vbucket", pa.int64()), ("sure", pa.int8())])
+
+    def _pair_vbucket(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            x = (a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 ^ b.astype(np.uint64))
+            x *= np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(29)
+        return (x % np.uint64(NPARTS)).astype(np.int64)
+
+    def candidates_reduce(_b: int, t) -> pa.Table:
+        """Collision groups via ONE sort whose key includes the true
+        chunk values; all i<j pairs per group, deduped in-partition."""
+        if t is None or t.num_rows == 0:
+            return cand_schema.empty_table()
+        ckeys = [f"c{k}" for k in range(rows_per_band)]
+        g = (t.to_pandas()
+             .sort_values(["band_id", "band_hash", *ckeys, "hall", "doc_id"],
+                          kind="mergesort")
+             .drop_duplicates(["band_id", "band_hash", *ckeys, "doc_id"]))
+        band_np = g["band_id"].to_numpy()
+        key_np = np.stack([g["band_hash"].to_numpy()]
+                          + [g[c].to_numpy() for c in ckeys])
+        change = band_np[1:] != band_np[:-1]
+        for r in key_np:
+            change = change | (r[1:] != r[:-1])
+        bounds = np.flatnonzero(np.r_[True, change, True])
+        sizes = np.diff(bounds)
+        doc_arr = g["doc_id"].to_numpy(dtype=np.int64)
+        h0_arr = g["h0"].to_numpy()
+        hall_arr = g["hall"].to_numpy()
+        out_a, out_b, out_sure = [], [], []
+        for gi in np.nonzero(sizes >= 2)[0]:
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            band = int(band_np[lo])
+            ids = doc_arr[lo:hi]  # sorted by (hall, doc_id)
+            if band > 0:
+                h0g = h0_arr[lo:hi]
+                if (h0g == h0g[0]).all():
+                    # whole group already equal at band 0 — band 0's
+                    # bucket owns every pair (the dominant full-dup
+                    # case: skip before any pair construction)
+                    continue
+                iu, ju = np.triu_indices(len(ids), k=1)
+                keep = h0g[iu] != h0g[ju]
+                iu, ju = iu[keep], ju[keep]
+                sure = np.zeros(len(iu), dtype=bool)
+            else:
+                # band 0 owns identical-sig pairs: within a hall-run
+                # est is exactly 1.0 and the pair occurs nowhere else
+                # (h0 suppression) — emit FINAL, no sig join, no dedup
+                iu, ju = np.triu_indices(len(ids), k=1)
+                hg = hall_arr[lo:hi]
+                sure = hg[iu] == hg[ju]
+            # group rows are sorted by (hall, doc_id), so a pair's
+            # (min, max) order is restored after the concat below
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+            out_sure.append(sure)
+        if not out_a:
+            return cand_schema.empty_table()
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        sure = np.concatenate(out_sure)
+        lo_ = np.minimum(a, b)
+        hi_ = np.maximum(a, b)
+        df = pd.DataFrame({"a": lo_, "b": hi_, "sure": sure}).drop_duplicates(
+            ["a", "b"])
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "vbucket": pa.array(_pair_vbucket(a, b), pa.int64()),
+                         "sure": pa.array(
+                             df["sure"].to_numpy(dtype=np.int8), pa.int8())})
+
+    band_ds = sigs.map_batches(band_rows, batch_format="pandas")
+    cand = bucket_exchange([(band_ds, "bucket")], NPARTS, candidates_reduce)
+
+    # --- membership: which pair partitions need which doc's signature
+    memb_schema = pa.schema([("doc_id", pa.int64()), ("vbucket", pa.int64()),
+                             ("dbucket", pa.int64())])
+
+    def membership(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return memb_schema.empty_table()
+        sure = t["sure"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)[sure == 0]
+        b = t["b"].to_numpy(zero_copy_only=False)[sure == 0]
+        v = t["vbucket"].to_numpy(zero_copy_only=False)[sure == 0]
+        df = pd.DataFrame({"doc_id": np.concatenate([a, b]),
+                           "vbucket": np.concatenate([v, v])}).drop_duplicates()
+        df["dbucket"] = (df["doc_id"] % NPARTS).astype("int64")
+        return pa.Table.from_pandas(df, schema=memb_schema,
+                                    preserve_index=False)
+
+    memb = cand.map_batches(membership, batch_format="pyarrow")
+
+    def sure_rows(t: pa.Table) -> pa.Table:
+        """Identical-sig pairs bypass the join: est is exactly 1.0 and
+        band-0 ownership already made them globally unique."""
+        if t.num_rows == 0:
+            return _PAIRS_EST_SCHEMA.empty_table()
+        sure = t["sure"].to_numpy(zero_copy_only=False)
+        a = t["a"].to_numpy(zero_copy_only=False)[sure == 1]
+        b = t["b"].to_numpy(zero_copy_only=False)[sure == 1]
+        return pa.table({
+            "a": pa.array(a.astype(np.int64), pa.int64()),
+            "b": pa.array(b.astype(np.int64), pa.int64()),
+            "est_jaccard": pa.array(np.ones(len(a)), pa.float64()),
+        })
+
+    sure_ds = cand.map_batches(sure_rows, batch_format="pyarrow")
+
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].astype("int64"),
+            "sig": [np.asarray(s, dtype=np.uint64).tobytes()
+                    for s in batch["sig"]],
+            "dbucket": (batch["doc_id"].to_numpy() % NPARTS).astype("int64"),
+        })
+
+    sig_ds = sigs.map_batches(sig_rows, batch_format="pandas")
+
+    pay_schema = pa.schema([("doc_id", pa.int64()), ("vbucket", pa.int64()),
+                            ("sig", pa.binary())])
+
+    def payload_reduce(_b: int, memb_t, sig_t) -> pa.Table:
+        """Ship each doc's signature once per pair partition."""
+        if memb_t is None or memb_t.num_rows == 0 or sig_t is None                 or sig_t.num_rows == 0:
+            return pay_schema.empty_table()
+        m = memb_t.to_pandas().drop_duplicates()
+        smap = sig_t.to_pandas().drop_duplicates("doc_id")
+        j = m.merge(smap[["doc_id", "sig"]], on="doc_id", how="inner")
+        return pa.table({"doc_id": pa.array(j["doc_id"].to_numpy(np.int64)),
+                         "vbucket": pa.array(j["vbucket"].to_numpy(np.int64)),
+                         "sig": pa.array(j["sig"].tolist(), pa.binary())})
+
+    payloads = bucket_exchange([(memb, "dbucket"), (sig_ds, "dbucket")],
+                               NPARTS, payload_reduce,
+                               schemas=[memb_schema, None])
+
+    def verify_reduce(_b: int, pay_t, pair_t) -> pa.Table:
+        """Per pair partition: global pair dedup + vectorized
+        est_jaccard from the joined signatures."""
+        if pair_t is None or pair_t.num_rows == 0 or pay_t is None                 or pay_t.num_rows == 0:
+            return _PAIRS_EST_SCHEMA.empty_table()
+        pairs = pair_t.to_pandas()
+        pairs = pairs[pairs["sure"] == 0][["a", "b"]].drop_duplicates()
+        if not len(pairs):
+            return _PAIRS_EST_SCHEMA.empty_table()
+        pay = pay_t.to_pandas().drop_duplicates("doc_id")
+        docs = pay["doc_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(docs, kind="stable")
+        docs = docs[order]
+        mat = np.stack([np.frombuffer(s, dtype=np.uint64)
+                        for s in pay["sig"].to_numpy()[order]])
+        ia = np.searchsorted(docs, pairs["a"].to_numpy(dtype=np.int64))
+        ib = np.searchsorted(docs, pairs["b"].to_numpy(dtype=np.int64))
+        est = (mat[ia] == mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        out = pd.DataFrame({
+            "a": pairs["a"].to_numpy(dtype=np.int64)[keep],
+            "b": pairs["b"].to_numpy(dtype=np.int64)[keep],
+            "est_jaccard": np.round(est[keep], 6)})
+        return pa.Table.from_pandas(out, schema=_PAIRS_EST_SCHEMA,
+                                    preserve_index=False)
+
+    verified = bucket_exchange([(payloads, "vbucket"), (cand, "vbucket")],
+                               NPARTS, verify_reduce,
+                               schemas=[pay_schema, cand_schema])
+    return verified.union(sure_ds)
 
 
 def _cc_split_edges_impl(table: pa.Table, n_buckets: int):

@@ -5,14 +5,17 @@ Five strategies, each the canonical large-scale shape:
 - :func:`exact_dedup` — hash-partitioned exact dedup: md5(text) →
   ``groupby(hash)`` keep min doc_id. The grouped shuffle moves only
   (hash, doc_id) pairs, never text.
-- :func:`minhash_lsh_dedup` — shingle → minhash signature (vectorized
-  numpy) → banded LSH bucket exchange with the signature riding ON
-  the band rows → in-bucket estimated-Jaccard verify → connected
-  components. The scale path for near-dup text: no driver
-  materialization of per-doc state anywhere. The bucket co-partition
-  runs as a raw-task hash exchange (``stages/exchange.py``) — the
-  keys are dense bucket ids, so Ray Data's sort-based groupby shuffle
-  pays for ordering nothing needs.
+- :func:`minhash_lsh_dedup` — shingle → minhash signature (batch-
+  vectorized numpy) → banded LSH → estimated-Jaccard verify →
+  connected components. Two physical plans behind one semantic result
+  (chosen by input size, like a broadcast-vs-shuffle join threshold):
+  sig-on-band (one exchange, signature rides the band rows, inline
+  verify) for small corpora, and a skinny three-exchange plan for
+  volume where the bands-fold signature amplification would spill the
+  object store. No driver materialization of per-doc state anywhere.
+  The bucket co-partitions run as raw-task hash exchanges
+  (``stages/exchange.py``) — the keys are dense bucket ids, so Ray
+  Data's sort-based groupby shuffle pays for ordering nothing needs.
 - :func:`simhash_dedup` — 64-bit simhash over token features, banded
   into 4×16-bit keys (exact recall at Hamming ≤ 3 by pigeonhole); the
   8-byte hash rides on the band rows, buckets verify locally.
@@ -78,19 +81,20 @@ def exact_dedup(sf_dir: str):
     """(text_hash, doc_id=min) — one row per distinct content."""
     from ray.data.aggregate import Count, Min
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "text_hash": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].fillna("")
-                ],
-            }
-        )
+    def add_hash(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(t["text"], "").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_hash": pa.array(
+                [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
+                pa.string()),
+        })
 
     return (
         _docs(sf_dir)
-        .map_batches(add_hash, batch_format="pandas")
+        .map_batches(add_hash, batch_format="pyarrow")
         .groupby("text_hash")
         .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
     )

@@ -181,17 +181,19 @@ def text_fingerprint(sf_dir: str):
     content addressing re-used for documents)."""
     import hashlib
 
-    def fp(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "fp_md5": [
-                    hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].fillna("")
-                ],
-            }
-        )
+    def fp(t) -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pandas")
+        texts = pc.fill_null(t["text"], "").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp_md5": pa.array(
+                [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
+                pa.string()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
 def winnow_doc(text: str, k: int = 5, window: int = 4) -> list[int]:
@@ -398,9 +400,10 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
         n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
     scores = tfidf_scores(sf_dir, n_buckets)
 
-    def add_dbucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["dbucket"] = batch["doc_id"].to_numpy() % n_buckets
-        return batch
+    def add_dbucket(t: pa.Table) -> pa.Table:
+        dbucket = t["doc_id"].to_numpy(zero_copy_only=False) % n_buckets
+        return t.append_column("dbucket",
+                               pa.array(dbucket.astype("int64"), pa.int64()))
 
     schema = pa.schema([
         ("doc_id", pa.int64()), ("term", pa.string()),
@@ -418,7 +421,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
         out["rank"] = out["rank"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
-    rows = scores.map_batches(add_dbucket, batch_format="pandas")
+    rows = scores.map_batches(add_dbucket, batch_format="pyarrow")
     return bucket_exchange([(rows, "dbucket")], n_buckets, topk_bucket)
 
 
@@ -446,20 +449,26 @@ def hash_split(sf_dir: str, weights=(("train", 0.9), ("val", 0.05), ("test", 0.0
         raise ValueError(f"split weights must sum to 1, got {acc}")
     last_split = bounds[-1][0]
 
-    def assign(batch: pd.DataFrame) -> pd.DataFrame:
-        splits = []
-        for v in batch[key]:
-            h = int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
-            for name, hi in bounds:
-                if h < hi:
-                    splits.append(name)
-                    break
-            else:  # h == max boundary edge: always assign (never drop)
-                splits.append(last_split)
-        return pd.DataFrame({key: batch[key], "split": splits})
+    import numpy as np
+    import pyarrow as pa
+
+    his = np.array([hi for _, hi in bounds], dtype=np.int64)
+    names = np.array([name for name, _ in bounds], dtype=object)
+
+    def assign(t: pa.Table) -> pa.Table:
+        # Arrow-native: no pandas round-trip; boundary lookup is one
+        # vectorized searchsorted (h < hi -> first boundary past h; h
+        # can never reach the last boundary since h < 1e6)
+        vals = t[key].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
+             for v in vals), dtype=np.int64, count=len(vals))
+        idx = np.minimum(np.searchsorted(his, h, side="right"), len(his) - 1)
+        return pa.table({key: t[key],
+                         "split": pa.array(names[idx], pa.string())})
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=[key]).map_batches(
-        assign, batch_format="pandas")
+        assign, batch_format="pyarrow")
 
 
 def stratified_sample(sf_dir: str,
@@ -481,17 +490,23 @@ def stratified_sample(sf_dir: str,
 
     rate_map = dict(rates)
 
-    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+    import pyarrow as pa
+
+    def keep(t: pa.Table) -> pa.Table:
+        # Arrow-native filter: build the survival mask in numpy, slice
+        # the table zero-copy (no pandas round-trip)
+        vals = t[key].to_numpy(zero_copy_only=False)
         h = np.fromiter(
             (int(_hl.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
-             for v in batch[key]),
-            dtype=np.int64, count=len(batch))
-        caps = batch[stratum].map(rate_map).fillna(default_rate).to_numpy(dtype=np.int64)
-        return batch[h < caps]
+             for v in vals), dtype=np.int64, count=len(vals))
+        strata = t[stratum].to_numpy(zero_copy_only=False)
+        caps = np.fromiter((rate_map.get(v, default_rate) for v in strata),
+                           dtype=np.int64, count=len(strata))
+        return t.filter(pa.array(h < caps))
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=[key, stratum]).map_batches(
-        keep, batch_format="pandas")
+        keep, batch_format="pyarrow")
 
 
 # --- sequence packing ---------------------------------------------------
@@ -525,12 +540,15 @@ def pack_sequences(sf_dir: str, budget: int = 2048,
     if n_buckets is None:
         n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
-    def tok_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy(dtype="int64")
-        return pd.DataFrame(
-            {"doc_id": ids,
-             "n_tokens": batch["text"].fillna("").str.count(r"\S+").astype("int64"),
-             "bucket": ids % n_buckets})
+    def tok_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), r"\S+").cast(pa.int64())
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_tokens": n_tok,
+                         "bucket": pa.array(ids % n_buckets, pa.int64())})
 
     schema = pa.schema([
         ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
@@ -562,7 +580,7 @@ def pack_sequences(sf_dir: str, budget: int = 2048,
             "bin_tokens": pa.array(fills_arr[bin_idx], pa.int64()),
         })
 
-    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pandas")
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pyarrow")
     return bucket_exchange([(rows, "bucket")], n_buckets, pack_bucket)
 
 
@@ -869,11 +887,12 @@ def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
 
     partials = bucket_exchange([(rows, "bucket")], n_buckets, score_bucket)
 
-    def doc_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame({"doc_id": ids, "dbucket": ids % n_buckets})
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "dbucket": pa.array(ids % n_buckets, pa.int64())})
 
-    docs = _docs(sf_dir, ["doc_id"]).map_batches(doc_rows, batch_format="pandas")
+    docs = _docs(sf_dir, ["doc_id"]).map_batches(doc_rows, batch_format="pyarrow")
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
                             ("perplexity", pa.float64())])

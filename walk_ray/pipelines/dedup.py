@@ -912,9 +912,35 @@ class SimHasher:
         return int(np.bitwise_or.reduce(np.uint64(1) << set_bits))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        hs = [self.simhash(t) for t in batch["text"].fillna("")]
+        # batch-vectorized: explode words once, count per (doc, word),
+        # md5 once per batch-UNIQUE word, one scatter-add into the
+        # (docs × 64) sign accumulator — no per-doc Python
+        import hashlib as _hl
+
+        texts = batch["text"].fillna("")
+        D = len(batch)
+        ex = texts.str.split().reset_index(drop=True).explode().dropna()
+        out_hash = np.zeros(D, dtype=np.uint64)
+        if len(ex):
+            di = ex.index.to_numpy(dtype=np.int64)
+            codes, uniq = pd.factorize(ex.to_numpy())
+            uh = np.fromiter(
+                (int(_hl.md5(w.encode()).hexdigest()[:16], 16) for w in uniq),
+                dtype=np.uint64, count=len(uniq))
+            shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
+            ubits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)) \
+                .astype(np.int64)  # (U, 64)
+            # tf-weighting == summing each word INSTANCE's ±1 vector,
+            # so no (doc, word) count pass: one scatter-add over the
+            # exploded instances
+            acc = np.zeros((D, 64), dtype=np.int64)
+            np.add.at(acc, di, 2 * ubits[codes] - 1)
+            pos = acc > 0
+            weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+            out_hash = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1,
+                                                                      dtype=np.uint64)
         out = pd.DataFrame({"doc_id": batch["doc_id"]})
-        out["simhash"] = pd.Series(hs, dtype="uint64").values
+        out["simhash"] = out_hash
         return out
 
 

@@ -79,6 +79,91 @@ def test_staged_split_multi_input():
         assert r["n2"] == want2.get(r["bucket"], 0)
 
 
+def _make_expander():
+    """A row-expanding fused map: each input row emits 3 rows whose
+    bucket column the map itself derives (the source has none) — the
+    map-side-fusion shape every LSH/bigram explosion uses."""
+    schema = pa.schema([("k", pa.int64()), ("v", pa.int64()),
+                        ("bucket", pa.int64())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        k = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = np.arange(3, dtype=np.int64)
+        kk = np.repeat(k, 3)
+        vv = np.repeat(v, 3) + np.tile(rep, len(k))
+        return pa.table({"k": pa.array(kk, pa.int64()),
+                         "v": pa.array(vv, pa.int64()),
+                         "bucket": pa.array((kk + np.tile(rep, len(k))) % 4,
+                                            pa.int64())})
+
+    return schema, expand
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fused_map_matches_prestaged_dataset():
+    """map_fns fusion must equal the same expansion run as its own
+    map_batches Dataset feeding a plain exchange — on BOTH the
+    single-level and the staged split path."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"k": rng.integers(0, 50, 400),
+                       "v": rng.integers(0, 9, 400)})
+    schema, expand = _make_expander()
+
+    # reference plan: materialized expansion Dataset -> exchange
+    base = rd.from_pandas(df.copy()).repartition(7)
+    pre = base.map_batches(expand, batch_format="pyarrow")
+    want = (bucket_exchange([(pre, "bucket")], 4, _make_sum_reduce())
+            .to_pandas().sort_values("k").reset_index(drop=True))
+
+    for bound in (None, 4):  # single-level, then forced staged
+        src = rd.from_pandas(df.copy()).repartition(7)
+        got = (bucket_exchange([(src, "bucket")], 4, _make_sum_reduce(),
+                               schemas=[schema], map_fns=[expand],
+                               max_driver_refs=bound)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fused_map_multi_input_mixed():
+    """[fn, None] per-input fusion: one side expands inside the split
+    task, the other passes through untouched."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(13)
+    df1 = pd.DataFrame({"k": rng.integers(0, 20, 150),
+                        "v": rng.integers(0, 5, 150)})
+    schema, expand = _make_expander()
+    ds1 = rd.from_pandas(df1).repartition(5)
+    ds2, df2 = _mk_ds(300, 4, 3, seed=7)
+
+    out_schema = pa.schema([("bucket", pa.int64()), ("n1", pa.int64()),
+                            ("n2", pa.int64())])
+
+    def count_both(b: int, t1, t2):
+        return pa.table({
+            "bucket": pa.array([b], pa.int64()),
+            "n1": pa.array([0 if t1 is None else t1.num_rows], pa.int64()),
+            "n2": pa.array([0 if t2 is None else t2.num_rows], pa.int64()),
+        }).cast(out_schema)
+
+    got = (bucket_exchange([(ds1, "bucket"), (ds2, "bucket")], 4, count_both,
+                           schemas=[schema, None], map_fns=[expand, None])
+           .to_pandas().sort_values("bucket").reset_index(drop=True))
+    exp = pa.Table.from_pandas(df1, preserve_index=False).cast(
+        pa.schema([("k", pa.int64()), ("v", pa.int64())]))
+    want1 = expand(exp).to_pandas().groupby("bucket").size()
+    want2 = df2.groupby("bucket").size()
+    for _, r in got.iterrows():
+        assert r["n1"] == want1.get(r["bucket"], 0)
+        assert r["n2"] == want2.get(r["bucket"], 0)
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_group_size_arithmetic():
     """The staged path triggers exactly when blocks x buckets exceeds

@@ -158,8 +158,23 @@ def dedup_keep_best(sf_dir: str, n_buckets: int | None = None):
             out[["text_hash", "doc_id", "quality", "n_copies"]],
             preserve_index=False).cast(schema)
 
-    rows = _docs(sf_dir).map_batches(partial, batch_format="pandas")
-    return bucket_exchange([(rows, "bucket")], n_buckets, finish)
+    part_schema = pa.schema([
+        ("text_hash", pa.string()), ("doc_id", pa.int64()),
+        ("quality", pa.float64()), ("n_copies", pa.int64()),
+        ("bucket", pa.int64())])
+
+    def partial_t(t: pa.Table) -> pa.Table:
+        # fused split-side map: hash+score+partial-argmax run inside
+        # the split task; only per-(block, hash) winners hit the store
+        df = partial(t.to_pandas())
+        if not len(df):
+            return part_schema.empty_table()
+        df["n_copies"] = df["n_copies"].astype("int64")
+        return pa.Table.from_pandas(df, schema=part_schema,
+                                    preserve_index=False)
+
+    return bucket_exchange([(_docs(sf_dir), "bucket")], n_buckets, finish,
+                           schemas=[part_schema], map_fns=[partial_t])
 
 
 # -------------------------------------------------------------- minhash
@@ -185,12 +200,18 @@ class MinHasher:
     ring (wraparound multiply is a standard universal-ish permutation
     family for minhash; fully numpy-vectorizable)."""
 
-    def __init__(self, num_perm: int = 128, seed: int = 17, ngram: int = 3):
+    def __init__(self, num_perm: int = 128, seed: int = 17, ngram: int = 3,
+                 fsb: bool = False):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, 2**63, num_perm, dtype=np.uint64) | np.uint64(1)
         self.b = rng.integers(0, 2**63, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.ngram = ngram
+        # fsb=True: emit the signature matrix as ONE zero-copy
+        # fixed_size_binary(num_perm*8) column instead of list<int64>
+        # rows — the internal interchange the LSH plans decode back to
+        # a (D, P) uint64 view with no per-row Python (see _sig_mat)
+        self.fsb = fsb
 
     def signature(self, text: str) -> np.ndarray:
         h = _hash_shingles(_word_ngrams(text.split(), self.ngram))
@@ -245,7 +266,7 @@ class MinHasher:
             dtype=np.uint64, count=len(uniq))
         return df["r"].to_numpy(dtype=np.int64), uh[codes]
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame):
         texts = batch["text"].fillna("")
         rows, h = self._batch_shingle_rows(texts)
         D = len(batch)
@@ -282,6 +303,15 @@ class MinHasher:
                         v, seg_starts[i:j] - lo_row, axis=1)
                     sig[doc_of_seg[i:j]] = mins.T
                     i = j
+        if self.fsb:
+            W = self.num_perm * 8
+            sigb = pa.Array.from_buffers(
+                pa.binary(W), D,
+                [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())])
+            return pa.table({
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+                "sigb": sigb})
         return pd.DataFrame({"doc_id": batch["doc_id"],
                              "sig": [s.tolist() for s in sig]})
 
@@ -292,6 +322,32 @@ def minhash_signatures(sf_dir: str, num_perm: int = 128, ngram: int = 3):
     return _docs(sf_dir).map_batches(
         MinHasher(num_perm=num_perm, ngram=ngram), batch_format="pandas"
     )
+
+
+def _signatures_fsb(sf_dir: str, num_perm: int = 128, ngram: int = 3):
+    """Internal signature stage for the LSH plans: same computation as
+    :func:`minhash_signatures`, but the signature travels as one
+    fixed_size_binary(num_perm*8) column (``sigb``) built zero-copy
+    from the batch's (D, P) uint64 matrix — no per-row list
+    materialization on the way out, no per-row ``np.asarray`` on the
+    way back in (:func:`_sig_mat`)."""
+    return _docs(sf_dir).map_batches(
+        MinHasher(num_perm=num_perm, ngram=ngram, fsb=True),
+        batch_format="pandas")
+
+
+def _sig_mat(col, num_perm: int) -> np.ndarray:
+    """Zero-copy decode of a ``sigb`` fixed_size_binary column (Array
+    or ChunkedArray) back to a (D, num_perm) uint64 matrix."""
+    W = num_perm * 8
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    parts = [np.frombuffer(c.buffers()[1], np.uint64,
+                           count=len(c) * num_perm, offset=c.offset * W)
+             for c in chunks if len(c)]
+    if not parts:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    flat = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    return flat.reshape(-1, num_perm)
 
 
 SIG_ON_BAND_MAX_BYTES = 4 << 30  # plan switch: see minhash_lsh_pairs
@@ -318,17 +374,16 @@ def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
     store comfortably; at volume the 32x amplification spills — the
     skinny plan takes over (see minhash_lsh_pairs)."""
     rows_per_band = num_perm // bands
+    W = num_perm * 8
+    band_schema = pa.schema([("doc_id", pa.int64()), ("band_id", pa.int64()),
+                             ("band_hash", pa.uint64()),
+                             ("bucket", pa.int64()), ("sig", pa.binary(W))])
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        D = len(batch)
+    def band_rows(t: pa.Table) -> pa.Table:
+        D = t.num_rows
         if not D:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "band_id": pd.Series([], dtype="int64"),
-                 "band_hash": pd.Series([], dtype="uint64"),
-                 "bucket": pd.Series([], dtype="int64"),
-                 "sig": pd.Series([], dtype="object")})
-        M = np.vstack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+            return band_schema.empty_table()
+        M = _sig_mat(t["sigb"], num_perm)
         C = M.reshape(D, bands, rows_per_band)
         P1 = np.uint64(0x9E3779B97F4A7C15)
         with np.errstate(over="ignore"):
@@ -341,15 +396,19 @@ def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
             band_ids = np.tile(np.arange(bands, dtype=np.uint64), D)
             bucket = ((x.reshape(-1) * np.uint64(bands) + band_ids)
                       % np.uint64(nparts)).astype(np.int64)
-        raw = np.array([m.tobytes() for m in M], dtype=object)
-        return pd.DataFrame(
-            {"doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-             "band_id": band_ids.astype(np.int64),
-             "band_hash": x.reshape(-1),
-             "bucket": bucket,
-             "sig": np.repeat(raw, bands)})
+        doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        sig_rep = pa.Array.from_buffers(
+            pa.binary(W), D * bands,
+            [None, pa.py_buffer(np.repeat(M, bands, axis=0).tobytes())])
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc, bands), pa.int64()),
+            "band_id": pa.array(band_ids.astype(np.int64), pa.int64()),
+            "band_hash": pa.array(x.reshape(-1), pa.uint64()),
+            "bucket": pa.array(bucket, pa.int64()),
+            "sig": sig_rep})
 
-    def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
+    def verify_partition(g: pa.Table) -> pd.DataFrame:
         """In-bucket verify: TRUE chunk equality at the current band,
         exact first-band ownership (pairs emit once, globally), inline
         est filter — nothing but final pairs leaves the partition."""
@@ -357,25 +416,31 @@ def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
             {"a": pd.Series([], dtype="int64"),
              "b": pd.Series([], dtype="int64"),
              "est_jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values(["band_id", "band_hash", "doc_id"],
-                          kind="mergesort")
-        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
-        band_np = g["band_id"].to_numpy()
-        hash_np = g["band_hash"].to_numpy()
+        band_np = g["band_id"].to_numpy(zero_copy_only=False)
+        hash_np = g["band_hash"].to_numpy(zero_copy_only=False)
+        doc_all = g["doc_id"].to_numpy(zero_copy_only=False)
+        mat_all = _sig_mat(g["sig"], num_perm)
+        order = np.lexsort((doc_all, hash_np, band_np))
+        band_np, hash_np, doc_all = (band_np[order], hash_np[order],
+                                     doc_all[order])
+        mat_all = mat_all[order]
+        uniq = np.r_[True, (band_np[1:] != band_np[:-1])
+                     | (hash_np[1:] != hash_np[:-1])
+                     | (doc_all[1:] != doc_all[:-1])]
+        band_np, hash_np, doc_all = (band_np[uniq], hash_np[uniq],
+                                     doc_all[uniq])
+        mat_all = mat_all[uniq]
         bounds = np.flatnonzero(np.r_[
             True,
             (band_np[1:] != band_np[:-1]) | (hash_np[1:] != hash_np[:-1]),
             True])
         sizes = np.diff(bounds)
-        doc_arr = g["doc_id"].to_numpy()
-        sig_arr = g["sig"].to_numpy()
         out_a, out_b, out_j = [], [], []
         for gi in np.nonzero(sizes >= 2)[0]:
             lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            ids = doc_arr[lo:hi].astype(np.int64)
+            ids = doc_all[lo:hi].astype(np.int64)
             band = int(band_np[lo])
-            mat = np.stack([np.frombuffer(s, dtype=np.uint64)
-                            for s in sig_arr[lo:hi]])
+            mat = mat_all[lo:hi]
             C = mat.reshape(len(ids), bands, rows_per_band)
             for i in range(len(ids) - 1):
                 # true equality at THIS band (bucket key is a
@@ -410,12 +475,15 @@ def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
     def verify_reduce(_b: int, t):
         if t is None or t.num_rows == 0:
             return _PAIRS_EST_SCHEMA.empty_table()
-        return pa.Table.from_pandas(verify_partition(t.to_pandas()),
+        return pa.Table.from_pandas(verify_partition(t),
                                     preserve_index=False).cast(
                                         _PAIRS_EST_SCHEMA)
 
-    band_ds = sigs.map_batches(band_rows, batch_format="pandas")
-    return bucket_exchange([(band_ds, "bucket")], nparts, verify_reduce)
+    # map-side fusion: the 32×-amplified band table (sig rides every
+    # row) never materializes as its own Dataset — band_rows runs
+    # inside the split task, block → bucket slices directly
+    return bucket_exchange([(sigs, "bucket")], nparts, verify_reduce,
+                           schemas=[band_schema], map_fns=[band_rows])
 
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
@@ -448,7 +516,7 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
     # PARTITIONS (most groups are singletons; per-group task overhead
     # would dominate otherwise)
     NPARTS = 64
-    sigs = minhash_signatures(sf_dir, num_perm, ngram)
+    sigs = _signatures_fsb(sf_dir, num_perm, ngram)
 
     if plan is None:
         band_bytes = _docs_rows(sf_dir) * bands * (num_perm * 8 + 32)
@@ -459,25 +527,29 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
                                       NPARTS)
     if plan != "skinny":
         raise ValueError(f"unknown plan {plan!r}")
+    # the skinny plan consumes sigs TWICE (band rows + payload join);
+    # materialize once so the shingle+hash stage doesn't re-execute —
+    # bounded at docs × (8 + num_perm×8) B ≈ 1 KB/doc in the object
+    # store (spillable), vs recomputing the most CPU-expensive stage
+    sigs = sigs.materialize()
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        """One row per (doc, band), fully vectorized, 64 B skinny. The
-        band key is a non-cryptographic u64 mix of the band's chunk —
-        it only GATHERS candidates; equality is decided on the real
-        chunk columns, so a key collision can only waste a comparison,
+    band_schema = pa.schema(
+        [("doc_id", pa.int64()), ("band_id", pa.int8()),
+         ("band_hash", pa.uint64()), ("h0", pa.uint64()),
+         ("hall", pa.uint64()), ("bucket", pa.int64())]
+        + [(f"c{k}", pa.uint64()) for k in range(rows_per_band)])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        """One row per (doc, band), fully vectorized, skinny (~73 B:
+        band_id is int8 — 32 bands). The band key is a
+        non-cryptographic u64 mix of the band's chunk — it only
+        GATHERS candidates; equality is decided on the real chunk
+        columns, so a key collision can only waste a comparison,
         never change the pair set."""
-        D = len(batch)
+        D = t.num_rows
         if not D:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "band_id": pd.Series([], dtype="int64"),
-                 "band_hash": pd.Series([], dtype="uint64"),
-                 "h0": pd.Series([], dtype="uint64"),
-                 "hall": pd.Series([], dtype="uint64"),
-                 "bucket": pd.Series([], dtype="int64"),
-                 **{f"c{k}": pd.Series([], dtype="uint64")
-                    for k in range(rows_per_band)}})
-        M = np.vstack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]])
+            return band_schema.empty_table()
+        M = _sig_mat(t["sigb"], num_perm)
         C = M.reshape(D, bands, rows_per_band)
         P1 = np.uint64(0x9E3779B97F4A7C15)
         with np.errstate(over="ignore"):
@@ -499,19 +571,21 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
             band_ids = np.tile(np.arange(bands, dtype=np.uint64), D)
             bucket = ((x.reshape(-1) * np.uint64(bands) + band_ids)
                       % np.uint64(NPARTS)).astype(np.int64)
-        out = {"doc_id": np.repeat(batch["doc_id"].to_numpy(), bands),
-               "band_id": band_ids.astype(np.int64),
-               "band_hash": x.reshape(-1),
-               # band-0 key rides on every row: bands > 0 suppress any
-               # pair already equal at band 0 (identical-sig dup
-               # clusters collide in EVERY band — without this they
-               # ship each pair ~bands times into the global dedup)
-               "h0": np.repeat(x[:, 0], bands),
-               "hall": np.repeat(hall, bands),
-               "bucket": bucket}
+        doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        cols = {"doc_id": pa.array(np.repeat(doc, bands), pa.int64()),
+                "band_id": pa.array(band_ids.astype(np.int8), pa.int8()),
+                "band_hash": pa.array(x.reshape(-1), pa.uint64()),
+                # band-0 key rides on every row: bands > 0 suppress any
+                # pair already equal at band 0 (identical-sig dup
+                # clusters collide in EVERY band — without this they
+                # ship each pair ~bands times into the global dedup)
+                "h0": pa.array(np.repeat(x[:, 0], bands), pa.uint64()),
+                "hall": pa.array(np.repeat(hall, bands), pa.uint64()),
+                "bucket": pa.array(bucket, pa.int64())}
         for k in range(rows_per_band):
-            out[f"c{k}"] = C[:, :, k].reshape(-1)
-        return pd.DataFrame(out)
+            cols[f"c{k}"] = pa.array(C[:, :, k].reshape(-1), pa.uint64())
+        return pa.table(cols)
 
     cand_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                              ("vbucket", pa.int64()), ("sure", pa.int8())])
@@ -525,26 +599,43 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
         return (x % np.uint64(NPARTS)).astype(np.int64)
 
     def candidates_reduce(_b: int, t) -> pa.Table:
-        """Collision groups via ONE sort whose key includes the true
-        chunk values; all i<j pairs per group, deduped in-partition."""
+        """Collision groups via ONE lexsort whose key includes the
+        true chunk values; all i<j pairs per group, deduped
+        in-partition. Pure numpy — no pandas frame for the (rows ×
+        bands)-sized bucket."""
         if t is None or t.num_rows == 0:
             return cand_schema.empty_table()
-        ckeys = [f"c{k}" for k in range(rows_per_band)]
-        g = (t.to_pandas()
-             .sort_values(["band_id", "band_hash", *ckeys, "hall", "doc_id"],
-                          kind="mergesort")
-             .drop_duplicates(["band_id", "band_hash", *ckeys, "doc_id"]))
-        band_np = g["band_id"].to_numpy()
-        key_np = np.stack([g["band_hash"].to_numpy()]
-                          + [g[c].to_numpy() for c in ckeys])
-        change = band_np[1:] != band_np[:-1]
-        for r in key_np:
-            change = change | (r[1:] != r[:-1])
+        band_np = t["band_id"].to_numpy(zero_copy_only=False)
+        hash_np = t["band_hash"].to_numpy(zero_copy_only=False)
+        doc_arr = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        h0_arr = t["h0"].to_numpy(zero_copy_only=False)
+        hall_arr = t["hall"].to_numpy(zero_copy_only=False)
+        cks = [t[f"c{k}"].to_numpy(zero_copy_only=False)
+               for k in range(rows_per_band)]
+        # sort by (band, hash, c0..ck, hall, doc) — lexsort's primary
+        # key goes LAST; same linearization the pandas mergesort gave
+        order = np.lexsort((doc_arr, hall_arr, *cks[::-1],
+                            hash_np, band_np))
+        band_np, hash_np, doc_arr = (band_np[order], hash_np[order],
+                                     doc_arr[order])
+        h0_arr, hall_arr = h0_arr[order], hall_arr[order]
+        cks = [c[order] for c in cks]
+        # drop duplicate (band, hash, chunks, doc) rows — equal-subset
+        # rows are adjacent (same doc ⇒ same hall, the only other key)
+        dup = ((band_np[1:] != band_np[:-1]) | (hash_np[1:] != hash_np[:-1])
+               | (doc_arr[1:] != doc_arr[:-1]))
+        for c in cks:
+            dup = dup | (c[1:] != c[:-1])
+        keep = np.r_[True, dup]
+        band_np, hash_np, doc_arr = band_np[keep], hash_np[keep], doc_arr[keep]
+        h0_arr, hall_arr = h0_arr[keep], hall_arr[keep]
+        cks = [c[keep] for c in cks]
+        change = (band_np[1:] != band_np[:-1]) | (hash_np[1:] != hash_np[:-1])
+        for c in cks:
+            change = change | (c[1:] != c[:-1])
         bounds = np.flatnonzero(np.r_[True, change, True])
         sizes = np.diff(bounds)
-        doc_arr = g["doc_id"].to_numpy(dtype=np.int64)
-        h0_arr = g["h0"].to_numpy()
-        hall_arr = g["hall"].to_numpy()
         out_a, out_b, out_sure = [], [], []
         for gi in np.nonzero(sizes >= 2)[0]:
             lo, hi = int(bounds[gi]), int(bounds[gi + 1])
@@ -590,8 +681,11 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
                          "sure": pa.array(
                              df["sure"].to_numpy(dtype=np.int8), pa.int8())})
 
-    band_ds = sigs.map_batches(band_rows, batch_format="pandas")
-    cand = bucket_exchange([(band_ds, "bucket")], NPARTS, candidates_reduce)
+    # map-side fusion: band_rows runs inside the split task — the
+    # ~73 B × docs × bands expansion goes straight to bucket slices,
+    # never materializing as a Dataset in the object store
+    cand = bucket_exchange([(sigs, "bucket")], NPARTS, candidates_reduce,
+                           schemas=[band_schema], map_fns=[band_rows])
 
     # --- membership: which pair partitions need which doc's signature
     memb_schema = pa.schema([("doc_id", pa.int64()), ("vbucket", pa.int64()),
@@ -628,15 +722,21 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
 
     sure_ds = cand.map_batches(sure_rows, batch_format="pyarrow")
 
-    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].astype("int64"),
-            "sig": [np.asarray(s, dtype=np.uint64).tobytes()
-                    for s in batch["sig"]],
-            "dbucket": (batch["doc_id"].to_numpy() % NPARTS).astype("int64"),
-        })
+    sig_schema = pa.schema([("doc_id", pa.int64()), ("sig", pa.binary()),
+                            ("dbucket", pa.int64())])
 
-    sig_ds = sigs.map_batches(sig_rows, batch_format="pandas")
+    def sig_rows(t: pa.Table) -> pa.Table:
+        """(doc_id, sig bytes, dbucket) — the fsb column casts to
+        variable binary wholesale; no per-row work."""
+        if t.num_rows == 0:
+            return sig_schema.empty_table()
+        doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "sig": pc.cast(t["sigb"].combine_chunks(), pa.binary()),
+            "dbucket": pa.array(doc % NPARTS, pa.int64())})
 
     pay_schema = pa.schema([("doc_id", pa.int64()), ("vbucket", pa.int64()),
                             ("sig", pa.binary())])
@@ -652,9 +752,10 @@ def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: 
                          "vbucket": pa.array(j["vbucket"].to_numpy(np.int64)),
                          "sig": pa.array(j["sig"].tolist(), pa.binary())})
 
-    payloads = bucket_exchange([(memb, "dbucket"), (sig_ds, "dbucket")],
+    payloads = bucket_exchange([(memb, "dbucket"), (sigs, "dbucket")],
                                NPARTS, payload_reduce,
-                               schemas=[memb_schema, None])
+                               schemas=[memb_schema, sig_schema],
+                               map_fns=[None, sig_rows])
 
     def verify_reduce(_b: int, pay_t, pair_t) -> pa.Table:
         """Per pair partition: global pair dedup + vectorized
@@ -957,21 +1058,29 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
 
     NPARTS = 64  # verify partitions (bounded group count, see minhash)
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band_id": [], "band_val": [], "bucket": [], "simhash": []}
-        for doc, h in zip(batch["doc_id"], batch["simhash"]):
-            h = int(h)
-            for b in range(4):
-                v = (h >> (16 * b)) & 0xFFFF
-                rows["doc_id"].append(doc)
-                rows["band_id"].append(b)
-                rows["band_val"].append(v)
-                rows["bucket"].append((v * 4 + b) % NPARTS)
-                rows["simhash"].append(h)
-        out = pd.DataFrame({"doc_id": rows["doc_id"], "band_id": rows["band_id"],
-                            "band_val": rows["band_val"], "bucket": rows["bucket"]})
-        out["simhash"] = pd.Series(rows["simhash"], dtype="uint64").values
-        return out
+    band_schema = pa.schema([("doc_id", pa.int64()), ("band_id", pa.int64()),
+                             ("band_val", pa.int64()), ("bucket", pa.int64()),
+                             ("simhash", pa.uint64())])
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        """Vectorized 4-band explosion (one numpy shift per row set,
+        no per-doc Python); runs fused inside the split task."""
+        D = t.num_rows
+        if not D:
+            return band_schema.empty_table()
+        doc = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        h = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands = np.tile(np.arange(4, dtype=np.int64), D)
+        hr = np.repeat(h, 4)
+        v = ((hr >> (np.uint64(16) * bands.astype(np.uint64)))
+             & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc, 4), pa.int64()),
+            "band_id": pa.array(bands, pa.int64()),
+            "band_val": pa.array(v, pa.int64()),
+            "bucket": pa.array((v * 4 + bands) % NPARTS, pa.int64()),
+            "simhash": pa.array(hr, pa.uint64())})
 
     def verify_partition(g: pd.DataFrame) -> pd.DataFrame:
         """Hamming-verify every (band, value) bucket hashed into this
@@ -1024,8 +1133,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
         return pa.Table.from_pandas(verify_partition(t.to_pandas()),
                                     preserve_index=False).cast(ham_schema)
 
-    band_ds = sigs.map_batches(band_rows, batch_format="pandas")
-    pairs = bucket_exchange([(band_ds, "bucket")], NPARTS, verify_reduce)
+    pairs = bucket_exchange([(sigs, "bucket")], NPARTS, verify_reduce,
+                            schemas=[band_schema], map_fns=[band_rows])
     # final ordering as a Dataset sort — the pair set is output-bounded
     # but on a dup-heavy corpus still too big to funnel through the
     # driver for ordering
@@ -1159,7 +1268,17 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
              "gbytes": ["\x00".join(g).encode() for g in batch["grams"]],
              "dbucket": ids % NB})
 
-    gb = grams_ds.map_batches(gram_bytes, batch_format="pandas")
+    gb_schema = pa.schema([("doc_id", pa.int64()), ("gbytes", pa.binary()),
+                           ("dbucket", pa.int64())])
+
+    def gram_bytes_t(t: pa.Table) -> pa.Table:
+        # fused split-side map — the serialized gram sets (≈ corpus
+        # text volume) never materialize as their own Dataset
+        df = gram_bytes(t.to_pandas())
+        if not len(df):
+            return gb_schema.empty_table()
+        return pa.Table.from_pandas(df, schema=gb_schema,
+                                    preserve_index=False)
 
     doc_part_schema = pa.schema(
         [("part", pa.int64()), ("doc_id", pa.int64()), ("gbytes", pa.binary())])
@@ -1175,7 +1294,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         return pa.Table.from_pandas(out, preserve_index=False).cast(doc_part_schema)
 
     doc_parts = bucket_exchange(
-        [(membership, "dbucket"), (gb, "dbucket")], NB, join_reduce)
+        [(membership, "dbucket"), (grams_ds, "dbucket")], NB, join_reduce,
+        schemas=[None, gb_schema], map_fns=[None, gram_bytes_t])
 
     pairs_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
@@ -1457,7 +1577,6 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5,
     if docs is None:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
-    rows = docs.map_batches(to_chunks, batch_format="pyarrow")
 
     win_schema = pa.schema([
         ("doc_id", pa.int64()), ("ci", pa.int64()), ("chunk", pa.string()),
@@ -1474,7 +1593,11 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5,
         df["dbucket"] = (df["doc_id"] % n_buckets).astype("int64")
         return pa.Table.from_pandas(df, schema=win_schema, preserve_index=False)
 
-    winners = bucket_exchange([(rows, "bucket")], n_buckets, keep_first)
+    # map-side fusion: the chunk explosion (≈ corpus text volume plus
+    # per-chunk ids) goes straight from each docs block to bucket
+    # slices inside the split task — never a materialized Dataset
+    winners = bucket_exchange([(docs, "bucket")], n_buckets, keep_first,
+                              schemas=[chunk_schema], map_fns=[to_chunks])
 
     out_schema = pa.schema([
         ("doc_id", pa.int64()), ("clean_text", pa.string()),

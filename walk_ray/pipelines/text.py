@@ -375,9 +375,20 @@ def tfidf_scores(sf_dir: str, n_buckets: int | None = None):
              "df": dfreq, "tfidf": tfidf})
         return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
-    rows = docs.map_batches(
-        lambda b: _term_rows(b, n_buckets), batch_format="pandas")
-    out = bucket_exchange([(rows, "tbucket")], n_buckets, score_bucket)
+    row_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                            ("tf", pa.int64()), ("tbucket", pa.int64())])
+
+    def term_rows_t(t: pa.Table) -> pa.Table:
+        # fused split-side map: the corpus-sized (doc, term, tf)
+        # explosion never materializes as its own Dataset
+        df = _term_rows(t.to_pandas(), n_buckets)
+        if not len(df):
+            return row_schema.empty_table()
+        return pa.Table.from_pandas(df, schema=row_schema,
+                                    preserve_index=False)
+
+    out = bucket_exchange([(docs, "tbucket")], n_buckets, score_bucket,
+                          schemas=[row_schema], map_fns=[term_rows_t])
     # re-key after the build: bucket_exchange initialized Ray if it
     # wasn't up at entry, so the key is computable now
     key = _tfidf_cache_key(sf_dir, n_buckets)
@@ -421,8 +432,8 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
         out["rank"] = out["rank"].astype("int64")
         return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
 
-    rows = scores.map_batches(add_dbucket, batch_format="pyarrow")
-    return bucket_exchange([(rows, "dbucket")], n_buckets, topk_bucket)
+    return bucket_exchange([(scores, "dbucket")], n_buckets, topk_bucket,
+                           map_fns=[add_dbucket])
 
 
 # --- deterministic split ----------------------------------------------
@@ -580,8 +591,11 @@ def pack_sequences(sf_dir: str, budget: int = 2048,
             "bin_tokens": pa.array(fills_arr[bin_idx], pa.int64()),
         })
 
-    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(tok_rows, batch_format="pyarrow")
-    return bucket_exchange([(rows, "bucket")], n_buckets, pack_bucket)
+    rows_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                             ("bucket", pa.int64())])
+    return bucket_exchange([(_docs(sf_dir, ["doc_id", "text"]), "bucket")],
+                           n_buckets, pack_bucket,
+                           schemas=[rows_schema], map_fns=[tok_rows])
 
 
 # ------------------------------------------------------- PII redaction
@@ -864,8 +878,19 @@ def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
         df["k"] = df["k"].astype("int64")
         return df
 
-    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        bigram_rows, batch_format="pandas")
+    row_schema = pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
+                            ("w2", pa.string()), ("k", pa.int64()),
+                            ("bucket", pa.int64())])
+
+    def bigram_rows_t(t: pa.Table) -> pa.Table:
+        """Fused split-side map: the corpus-sized bigram explosion goes
+        straight from a docs block to bucket slices — it never
+        materializes as its own Dataset in the object store."""
+        df = bigram_rows(t.to_pandas())
+        if not len(df):
+            return row_schema.empty_table()
+        return pa.Table.from_pandas(df, schema=row_schema,
+                                    preserve_index=False)
 
     part_schema = pa.schema([("doc_id", pa.int64()), ("s", pa.float64()),
                              ("n", pa.int64()), ("dbucket", pa.int64())])
@@ -885,14 +910,16 @@ def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
         agg["dbucket"] = (agg["doc_id"] % n_buckets).astype("int64")
         return pa.Table.from_pandas(agg, schema=part_schema, preserve_index=False)
 
-    partials = bucket_exchange([(rows, "bucket")], n_buckets, score_bucket)
+    partials = bucket_exchange(
+        [(_docs(sf_dir, ["doc_id", "text"]), "bucket")], n_buckets,
+        score_bucket, schemas=[row_schema], map_fns=[bigram_rows_t])
 
     def doc_rows(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "dbucket": pa.array(ids % n_buckets, pa.int64())})
 
-    docs = _docs(sf_dir, ["doc_id"]).map_batches(doc_rows, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id"])
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("n_bigrams", pa.int64()),
                             ("perplexity", pa.float64())])
@@ -917,5 +944,8 @@ def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
                          "n_bigrams": pa.array(n, pa.int64()),
                          "perplexity": pa.array(np.round(ppl, 6), pa.float64())})
 
+    doc_schema = pa.schema([("doc_id", pa.int64()), ("dbucket", pa.int64())])
     return bucket_exchange([(partials, "dbucket"), (docs, "dbucket")],
-                           n_buckets, combine, schemas=[part_schema, None])
+                           n_buckets, combine,
+                           schemas=[part_schema, doc_schema],
+                           map_fns=[None, doc_rows])

@@ -11,8 +11,14 @@ keys are ALREADY small dense bucket ids (0..n_buckets-1, the repo-wide
 buys nothing. This module does the exchange directly as plain Ray
 tasks over Arrow blocks:
 
-  split:  one task per input block — stable argsort by bucket id,
-          slice into per-bucket sub-tables (zero Python per row)
+  split:  one task per input block — optional fused ``map_fn`` first
+          (map-side fusion: a row-expanding transform like an LSH
+          band explosion runs HERE, so the expanded table never
+          materializes in the object store as its own Dataset — at
+          volume that is the difference between fitting the store
+          and spilling the whole expansion to disk), then stable
+          argsort by bucket id, slice into per-bucket sub-tables
+          (zero Python per row)
   reduce: one task per bucket — ``pa.concat_tables`` of its slices
           from every block (per input), then the caller's reduce_fn
 
@@ -49,9 +55,18 @@ __all__ = ["bucket_exchange", "MAX_DRIVER_REFS"]
 MAX_DRIVER_REFS = 1 << 20
 
 
-def _split_impl(table: pa.Table, n_buckets: int, key_cols, schema: pa.Schema):
+def _split_impl(table: pa.Table, n_buckets: int, key_cols, schema: pa.Schema,
+                map_fn=None):
     """One input block → ``n_buckets`` sub-tables, bucketed by the
-    (single) int bucket column named by ``key_cols[0]``."""
+    (single) int bucket column named by ``key_cols[0]``.
+
+    ``map_fn`` (optional) is applied to the block FIRST, inside this
+    task — map-side fusion: a row-expanding transform (e.g. LSH band
+    explosion) goes straight from its source block to bucket slices
+    without the expanded table ever materializing in the object store
+    as a separate Dataset."""
+    if map_fn is not None:
+        table = map_fn(table)
     if table.num_rows == 0 or key_cols[0] not in table.column_names:
         # empty map_groups artifacts carry no schema; emit typed empties
         empty = schema.empty_table() if schema is not None else table
@@ -66,12 +81,14 @@ def _split_impl(table: pa.Table, n_buckets: int, key_cols, schema: pa.Schema):
     return out[0] if n_buckets == 1 else out
 
 
-def _split_group_impl(n_buckets: int, key_cols, schema: pa.Schema, *tables):
+def _split_group_impl(n_buckets: int, key_cols, schema: pa.Schema, map_fn,
+                      *tables):
     """Staged split: one task handles a GROUP of input blocks — split
     each, pre-concat per bucket — so the driver holds n_buckets refs
     per group instead of per block. The concat work is the same the
     reduce side would do; it just happens one tree level earlier."""
-    per_block = [_split_impl(t, n_buckets, key_cols, schema) for t in tables]
+    per_block = [_split_impl(t, n_buckets, key_cols, schema, map_fn)
+                 for t in tables]
     if n_buckets == 1:
         per_block = [(p,) for p in per_block]
     out = []
@@ -99,12 +116,13 @@ def _reduce_impl(fn, bucket_id: int, n_inputs: int, counts, *parts):
 
 
 def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None,
-                    max_driver_refs: int | None = None):
+                    max_driver_refs: int | None = None, map_fns=None):
     """Co-partition one or more datasets by a precomputed bucket column
     and apply ``reduce_fn`` once per bucket.
 
     ``inputs``: list of ``(dataset, bucket_col)`` — each dataset must
-    carry an int64 column of bucket ids in ``[0, n_buckets)``.
+    carry an int64 column of bucket ids in ``[0, n_buckets)`` (after
+    its ``map_fn``, if any).
     ``reduce_fn(bucket_id, *tables)``: one ``pa.Table`` per input (or
     ``None`` when the bucket got no rows from that input); returns a
     ``pa.Table``. Runs as a plain Ray task — it must be a module-level
@@ -115,6 +133,13 @@ def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None,
     the split side runs STAGED — one task per block GROUP returning
     pre-concatenated per-bucket sub-tables — so driver refs stay
     bounded at any input block count (SCALE.md §exchange).
+    ``map_fns``: optional per-input ``table → table`` callables fused
+    into the split task (map-side fusion). A row-EXPANDING map (LSH
+    band explosion: 32 rows out per row in) should run here rather
+    than as a ``map_batches`` stage: the expanded table goes straight
+    to bucket slices and never materializes in the object store —
+    at volume that's the difference between fitting the store and
+    spilling the whole expansion to disk.
 
     Returns a ``ray.data.Dataset`` of the concatenated reduce outputs.
     """
@@ -130,6 +155,7 @@ def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None,
     per_input_refs = []
     for idx, (ds, col) in enumerate(inputs):
         schema = None if schemas is None else schemas[idx]
+        map_fn = None if map_fns is None else map_fns[idx]
         block_refs = ds.to_arrow_refs() if hasattr(ds, "to_arrow_refs") else list(ds)
         refs = []
         group_size = -(-len(block_refs) * n_buckets // max(max_driver_refs, n_buckets))
@@ -137,14 +163,14 @@ def bucket_exchange(inputs, n_buckets: int, reduce_fn, schemas=None,
             for lo in range(0, len(block_refs), group_size):
                 s = split_group.options(
                     num_returns=n_buckets if n_buckets > 1 else None,
-                ).remote(n_buckets, (col,), schema,
+                ).remote(n_buckets, (col,), schema, map_fn,
                          *block_refs[lo:lo + group_size])
                 refs.append([s] if n_buckets == 1 else s)
         else:
             for r in block_refs:
                 s = split.options(
                     num_returns=n_buckets if n_buckets > 1 else None,
-                ).remote(r, n_buckets, (col,), schema)
+                ).remote(r, n_buckets, (col,), schema, map_fn)
                 refs.append([s] if n_buckets == 1 else s)
         per_input_refs.append(refs)
 

@@ -841,6 +841,7 @@ def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
     from zlib import crc32
 
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from ..stages.exchange import bucket_exchange
     from ..stages.sizing import auto_buckets
@@ -848,67 +849,86 @@ def lm_perplexity(sf_dir: str, n_buckets: int | None = None):
     if n_buckets is None:
         n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
-    def bigram_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        # vectorized explode + shift-align (the repetition_stats idiom):
-        # explode words once, a bigram is (word[j], word[j+1]) where
-        # both positions belong to the same doc — no per-token Python
-        texts = batch["text"].fillna("")
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        ex = texts.str.split().reset_index(drop=True).explode()
-        di = ex.index.to_numpy(dtype=np.int64)
-        dw = ex.to_numpy()
-        mask = np.empty(len(di), dtype=bool)
-        if len(di):
-            mask[:-1] = di[1:] == di[:-1]
-            mask[-1] = False
-        w2 = np.roll(dw, -1)
-        df = (pd.DataFrame({"doc_id": ids[di[mask]],
-                            "w1": dw[mask], "w2": w2[mask]})
-              .groupby(["doc_id", "w1", "w2"], sort=False).size()
-              .rename("k").reset_index())
-        if not len(df):
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "w1": pd.Series([], dtype="object"),
-                                 "w2": pd.Series([], dtype="object"),
-                                 "k": pd.Series([], dtype="int64"),
-                                 "bucket": pd.Series([], dtype="int64")})
-        uniq = df["w1"].unique()
-        bmap = {w: crc32(w.encode()) % n_buckets for w in uniq}
-        df["bucket"] = df["w1"].map(bmap).astype("int64")
-        df["k"] = df["k"].astype("int64")
-        return df
-
-    row_schema = pa.schema([("doc_id", pa.int64()), ("w1", pa.string()),
-                            ("w2", pa.string()), ("k", pa.int64()),
-                            ("bucket", pa.int64())])
+    row_schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("w1", pa.dictionary(pa.int32(), pa.string())),
+        ("w2", pa.dictionary(pa.int32(), pa.string())),
+        ("bucket", pa.int64())])
 
     def bigram_rows_t(t: pa.Table) -> pa.Table:
-        """Fused split-side map: the corpus-sized bigram explosion goes
-        straight from a docs block to bucket slices — it never
-        materializes as its own Dataset in the object store."""
-        df = bigram_rows(t.to_pandas())
-        if not len(df):
+        """Pure-Arrow fused split-side map: tokenize with
+        ``utf8_split_whitespace`` (C speed; parity with ``str.split()``
+        needs only dropping the empty tokens Arrow keeps for
+        leading/trailing whitespace — interior runs collapse, so ''
+        never appears mid-list and dropping it can't create a false
+        bigram), ``dictionary_encode`` the token stream once, and
+        shift-align codes into (doc, w1, w2) instance rows. Words ship
+        as dictionary arrays — int32 codes per row plus one
+        block-vocab dictionary per bucket slice (Heaps' law: vocab ≪
+        tokens) — and no token ever becomes a Python object. Instance
+        rows (k≡1) beat per-(doc,bigram) pre-aggregation here: the
+        groupby compressed ~1% and cost more than everything else in
+        the task combined."""
+        if t.num_rows == 0:
             return row_schema.empty_table()
-        return pa.Table.from_pandas(df, schema=row_schema,
-                                    preserve_index=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t["text"].combine_chunks(), ""))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary
+        vocab_py = vocab.to_pylist()
+        if "" in vocab_py:
+            keep = codes != vocab_py.index("")
+            codes, parent = codes[keep], parent[keep]
+        idx = (np.flatnonzero(parent[1:] == parent[:-1])
+               if len(parent) else np.empty(0, np.int64))
+        if not len(idx):
+            return row_schema.empty_table()
+        c1, c2 = codes[idx], codes[idx + 1]
+        vb = np.fromiter((crc32(w.encode()) % n_buckets for w in vocab_py),
+                         dtype=np.int64, count=len(vocab_py))
+        return pa.table({
+            "doc_id": pa.array(ids[parent[idx]], pa.int64()),
+            "w1": pa.DictionaryArray.from_arrays(
+                pa.array(c1.astype(np.int32)), vocab),
+            "w2": pa.DictionaryArray.from_arrays(
+                pa.array(c2.astype(np.int32)), vocab),
+            "bucket": pa.array(vb[c1], pa.int64())})
 
     part_schema = pa.schema([("doc_id", pa.int64()), ("s", pa.float64()),
                              ("n", pa.int64()), ("dbucket", pa.int64())])
 
     def score_bucket(_b: int, t) -> pa.Table:
+        """Counts + per-doc partials over dictionary CODES — the
+        bucket-local dictionaries unify in ``combine_chunks`` and every
+        count is a factorize+bincount; no string touches pandas."""
         if t is None or t.num_rows == 0:
             return part_schema.empty_table()
-        df = t.to_pandas()
-        # global counts are bucket-local (all of prefix w1 is here)
-        c2 = df.groupby(["w1", "w2"], sort=False)["k"].transform("sum")
-        c1 = df.groupby("w1", sort=False)["k"].transform("sum")
-        logp = np.log((c2.to_numpy(dtype=np.float64) + 1.0)
-                      / (c1.to_numpy(dtype=np.float64) + LM_SMOOTH))
-        df["s"] = logp * df["k"].to_numpy(dtype=np.float64)
-        agg = df.groupby("doc_id", sort=True).agg(
-            s=("s", "sum"), n=("k", "sum")).reset_index()
-        agg["dbucket"] = (agg["doc_id"] % n_buckets).astype("int64")
-        return pa.Table.from_pandas(agg, schema=part_schema, preserve_index=False)
+        w1c = t["w1"].combine_chunks()
+        w2c = t["w2"].combine_chunks()
+        i1 = w1c.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        i2 = w2c.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # global counts are bucket-local (all of prefix w1 is here);
+        # rows are bigram INSTANCES (k=1), so counts are row counts
+        comp = i1 * np.int64(len(w2c.dictionary)) + i2
+        grp, _ = pd.factorize(comp)
+        c2n = np.bincount(grp).astype(np.float64)[grp]
+        c1n = np.bincount(i1, minlength=len(w1c.dictionary)).astype(
+            np.float64)[i1]
+        logp = np.log((c2n + 1.0) / (c1n + LM_SMOOTH))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dg, duniq = pd.factorize(doc)
+        s = np.bincount(dg, weights=logp)
+        n = np.bincount(dg).astype(np.int64)
+        duniq = np.asarray(duniq, dtype=np.int64)
+        return pa.table({"doc_id": pa.array(duniq, pa.int64()),
+                         "s": pa.array(s, pa.float64()),
+                         "n": pa.array(n, pa.int64()),
+                         "dbucket": pa.array(duniq % n_buckets, pa.int64())
+                         }).cast(part_schema)
 
     partials = bucket_exchange(
         [(_docs(sf_dir, ["doc_id", "text"]), "bucket")], n_buckets,

@@ -1584,14 +1584,31 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5,
     ])
 
     def keep_first(b: int, t) -> pa.Table:
+        """Winner per distinct chunk = min (doc_id, ci): one
+        ``dictionary_encode`` pass over the chunk strings (C-speed
+        hash; equal strings → equal code), then an integer lexsort and
+        a first-per-code scan — chunk text never enters pandas."""
+        import pyarrow.compute as pc
+
         if t is None or t.num_rows == 0:
             return win_schema.empty_table()
-        df = (t.to_pandas()
-              .sort_values(["chunk", "doc_id", "ci"], kind="mergesort")
-              .drop_duplicates("chunk", keep="first"))
-        df = df.drop(columns=["bucket"])
-        df["dbucket"] = (df["doc_id"] % n_buckets).astype("int64")
-        return pa.Table.from_pandas(df, schema=win_schema, preserve_index=False)
+        chunk = t["chunk"].combine_chunks()
+        code = pc.dictionary_encode(chunk).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = t["ci"].to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((ci, doc, code))
+        cs = code[o]
+        sel = o[np.r_[True, cs[1:] != cs[:-1]]]
+        tot = t["n_chunks_total"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(doc[sel], pa.int64()),
+            "ci": pa.array(ci[sel], pa.int64()),
+            "chunk": chunk.take(pa.array(sel)),
+            "n_chunks_total": pa.array(
+                tot[sel].astype(np.int64), pa.int64()),
+            "dbucket": pa.array(doc[sel] % n_buckets, pa.int64()),
+        }).cast(win_schema)
 
     # map-side fusion: the chunk explosion (≈ corpus text volume plus
     # per-chunk ids) goes straight from each docs block to bucket
@@ -1605,17 +1622,31 @@ def chunk_dedup(sf_dir: str, chunk_words: int = 5,
     ])
 
     def reassemble(b: int, t) -> pa.Table:
+        """Per-doc reassembly without Python joins: integer lexsort by
+        (doc_id, ci), then a ListArray over the sorted chunk values and
+        one ``binary_join`` renders every doc's clean_text in C++."""
+        import pyarrow.compute as pc
+
         if t is None or t.num_rows == 0:
             return out_schema.empty_table()
-        df = t.to_pandas().sort_values(["doc_id", "ci"], kind="mergesort")
-        g = df.groupby("doc_id", sort=True)
-        out = pd.DataFrame({
-            "doc_id": np.fromiter(g.groups.keys(), dtype="int64"),
-            "clean_text": g["chunk"].agg(" ".join).to_numpy(),
-            "n_chunks_kept": g.size().to_numpy(dtype="int64"),
-            "n_chunks_total": g["n_chunks_total"].first().to_numpy(dtype="int64"),
-        })
-        return pa.Table.from_pandas(out, schema=out_schema, preserve_index=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = t["ci"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tot = t["n_chunks_total"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((ci, doc))
+        ds_ = doc[o]
+        newd = np.r_[True, ds_[1:] != ds_[:-1]]
+        offs = np.r_[np.flatnonzero(newd), len(ds_)].astype(np.int32)
+        vals = t["chunk"].combine_chunks().take(pa.array(o))
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals), " ")
+        return pa.table({
+            "doc_id": pa.array(ds_[newd], pa.int64()),
+            "clean_text": clean,
+            "n_chunks_kept": pa.array(np.diff(offs).astype(np.int64),
+                                      pa.int64()),
+            "n_chunks_total": pa.array(tot[o][newd].astype(np.int64),
+                                       pa.int64()),
+        }).cast(out_schema)
 
     return bucket_exchange([(winners, "dbucket")], n_buckets, reassemble,
                            schemas=[win_schema])

@@ -303,35 +303,71 @@ def _tfidf_cache_key(sf_dir: str, n_buckets: int):
     return (os.path.abspath(sf_dir), n_buckets, fp,
             ray.get_runtime_context().get_job_id())
 
-def _term_rows(batch: pd.DataFrame, n_buckets: int) -> pd.DataFrame:
-    """Explode docs to (doc_id, term, tf) rows, bucketed by hash(term)
-    — vectorized explode (no per-token Python loop), crc32 computed
-    once per UNIQUE term."""
+_TERM_ROW_SCHEMA = None  # built lazily (pa import stays function-local)
+
+
+def _term_row_schema():
+    import pyarrow as pa
+
+    global _TERM_ROW_SCHEMA
+    if _TERM_ROW_SCHEMA is None:
+        _TERM_ROW_SCHEMA = pa.schema([
+            ("doc_id", pa.int64()),
+            ("term", pa.dictionary(pa.int32(), pa.string())),
+            ("tf", pa.int64()), ("tbucket", pa.int64())])
+    return _TERM_ROW_SCHEMA
+
+
+def _term_rows(t, n_buckets: int):
+    """Explode a docs block to (doc_id, term, tf) rows bucketed by
+    hash(term) — pure Arrow (the lm_perplexity idiom): tokenize with
+    ``utf8_split_whitespace`` (parity with ``str.split()`` after
+    dropping Arrow's boundary-empty tokens), ``dictionary_encode``
+    once, aggregate tf over integer composite keys, and ship terms as
+    dictionary arrays (int32 codes + one block-vocab dictionary per
+    slice) — no token ever becomes a Python object."""
     from zlib import crc32
 
     import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    texts = batch["text"].fillna("")
-    ids = batch["doc_id"].to_numpy(dtype=np.int64)
-    ex = texts.str.split().reset_index(drop=True).explode().dropna()
-    if not len(ex):
-        return pd.DataFrame(
-            {"doc_id": pd.Series([], dtype="int64"),
-             "term": pd.Series([], dtype="object"),
-             "tf": pd.Series([], dtype="int64"),
-             "tbucket": pd.Series([], dtype="int64")})
-    df = (
-        pd.DataFrame({"doc_id": ids[ex.index.to_numpy(dtype=np.int64)],
-                      "term": ex.to_numpy()})
-        .groupby(["doc_id", "term"], sort=False).size().rename("tf").reset_index()
-    )
-    uniq = df["term"].unique()
-    bmap = {t: crc32(t.encode()) % n_buckets for t in uniq}
-    df["tbucket"] = df["term"].map(bmap).astype("int64")
-    return df
+    schema = _term_row_schema()
+    if t.num_rows == 0:
+        return schema.empty_table()
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.utf8_split_whitespace(
+        pc.fill_null(t["text"].combine_chunks(), ""))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary
+    vocab_py = vocab.to_pylist()
+    if "" in vocab_py:
+        keep = codes != vocab_py.index("")
+        codes, parent = codes[keep], parent[keep]
+    if not len(codes):
+        return schema.empty_table()
+    # tf per (doc, term): factorize the integer composite key
+    comp = parent.astype(np.int64) * np.int64(len(vocab_py)) + codes
+    grp, guniq = pd.factorize(comp)
+    tf = np.bincount(grp).astype(np.int64)
+    guniq = np.asarray(guniq, dtype=np.int64)
+    gparent = guniq // len(vocab_py)
+    gcode = guniq % len(vocab_py)
+    vb = np.fromiter((crc32(w.encode()) % n_buckets for w in vocab_py),
+                     dtype=np.int64, count=len(vocab_py))
+    return pa.table({
+        "doc_id": pa.array(ids[gparent], pa.int64()),
+        "term": pa.DictionaryArray.from_arrays(
+            pa.array(gcode.astype(np.int32)), vocab),
+        "tf": pa.array(tf, pa.int64()),
+        "tbucket": pa.array(vb[gcode], pa.int64())})
 
 
-def tfidf_scores(sf_dir: str, n_buckets: int | None = None):
+def tfidf_scores(sf_dir: str, n_buckets: int | None = None,
+                 _encoded: bool = False):
     """Corpus tf-idf: one row per (doc, term) with ``tf``, ``df`` and
     ``tfidf = round(tf * ln(N / df), 6)`` (N = corpus size, whitespace
     tokens, exact-match terms).
@@ -350,51 +386,70 @@ def tfidf_scores(sf_dir: str, n_buckets: int | None = None):
 
     if n_buckets is None:
         n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
+
+    def _decode(t: pa.Table) -> pa.Table:
+        # public-boundary decode: the cached/internal form keeps term
+        # dictionary-encoded (int32 codes, ~3x smaller in the store);
+        # plain strings materialize only in the consumer-facing rows
+        import pyarrow.compute as pc
+
+        i = t.schema.get_field_index("term")
+        return t.set_column(i, "term", pc.cast(t["term"], pa.string()))
+
     key = _tfidf_cache_key(sf_dir, n_buckets)
     cached = _TFIDF_CACHE.get(key) if key is not None else None
     if cached is not None:
-        return cached
+        return cached if _encoded else cached.map_batches(
+            _decode, batch_format="pyarrow")
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     n_docs = _docs_count(sf_dir)
 
     schema = pa.schema([
-        ("doc_id", pa.int64()), ("term", pa.string()),
+        ("doc_id", pa.int64()),
+        ("term", pa.dictionary(pa.int32(), pa.string())),
         ("tf", pa.int64()), ("df", pa.int64()), ("tfidf", pa.float64()),
     ])
 
     def score_bucket(_b: int, t) -> pa.Table:
+        """df + idf join over unified dictionary CODES (the
+        lm_perplexity idiom): distinct-doc counts per term are a
+        factorize+bincount over an integer composite — no string
+        touches pandas; terms decode to plain strings only in the
+        output column."""
         if t is None or t.num_rows == 0:
             return schema.empty_table()
-        df = t.select(["doc_id", "term", "tf"]).to_pandas()
-        counts = df.groupby("term", sort=False)["doc_id"].nunique()
-        dfreq = df["term"].map(counts).astype("int64")
-        tfidf = np.round(df["tf"].to_numpy() * np.log(n_docs / dfreq.to_numpy()), 6)
-        out = pd.DataFrame(
-            {"doc_id": df["doc_id"], "term": df["term"], "tf": df["tf"],
-             "df": dfreq, "tfidf": tfidf})
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
-
-    row_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
-                            ("tf", pa.int64()), ("tbucket", pa.int64())])
-
-    def term_rows_t(t: pa.Table) -> pa.Table:
-        # fused split-side map: the corpus-sized (doc, term, tf)
-        # explosion never materializes as its own Dataset
-        df = _term_rows(t.to_pandas(), n_buckets)
-        if not len(df):
-            return row_schema.empty_table()
-        return pa.Table.from_pandas(df, schema=row_schema,
-                                    preserve_index=False)
+        tcol = t["term"].combine_chunks()
+        codes = tcol.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(tcol.dictionary)
+        # document frequency = DISTINCT docs per term (robust to a
+        # doc_id appearing in more than one source block)
+        dg, duniq = pd.factorize(doc)
+        grp, guniq = pd.factorize(codes * np.int64(len(duniq)) + dg)
+        pair_term = (np.asarray(guniq, dtype=np.int64)
+                     // np.int64(len(duniq)))
+        dfreq_term = np.bincount(pair_term, minlength=V).astype(np.int64)
+        dfreq = dfreq_term[codes]
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfidf = np.round(tf * np.log(n_docs / dfreq.astype(np.float64)), 6)
+        return pa.table({
+            "doc_id": pa.array(doc, pa.int64()),
+            "term": tcol,
+            "tf": pa.array(tf, pa.int64()),
+            "df": pa.array(dfreq, pa.int64()),
+            "tfidf": pa.array(tfidf, pa.float64())}).cast(schema)
 
     out = bucket_exchange([(docs, "tbucket")], n_buckets, score_bucket,
-                          schemas=[row_schema], map_fns=[term_rows_t])
+                          schemas=[_term_row_schema()],
+                          map_fns=[lambda t: _term_rows(t, n_buckets)])
     # re-key after the build: bucket_exchange initialized Ray if it
     # wasn't up at entry, so the key is computable now
     key = _tfidf_cache_key(sf_dir, n_buckets)
     if key is not None:
         _TFIDF_CACHE[key] = out
-    return out
+    return out if _encoded else out.map_batches(_decode,
+                                                batch_format="pyarrow")
 
 
 def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
@@ -409,12 +464,28 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
 
     if n_buckets is None:
         n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
-    scores = tfidf_scores(sf_dir, n_buckets)
+    scores = tfidf_scores(sf_dir, n_buckets, _encoded=True)
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ship_schema = pa.schema([
+        ("doc_id", pa.int64()),
+        ("term", pa.dictionary(pa.int32(), pa.string())),
+        ("tfidf", pa.float64()), ("dbucket", pa.int64())])
 
     def add_dbucket(t: pa.Table) -> pa.Table:
-        dbucket = t["doc_id"].to_numpy(zero_copy_only=False) % n_buckets
-        return t.append_column("dbucket",
-                               pa.array(dbucket.astype("int64"), pa.int64()))
+        """Project to the three needed columns (tf/df don't ride the
+        exchange); terms are already dictionary-encoded — int32 codes
+        per row plus one vocab dictionary per slice."""
+        if t.num_rows == 0:
+            return ship_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "term": t["term"].combine_chunks(),
+            "tfidf": t["tfidf"],
+            "dbucket": pa.array(doc % n_buckets, pa.int64())})
 
     schema = pa.schema([
         ("doc_id", pa.int64()), ("term", pa.string()),
@@ -422,18 +493,39 @@ def tfidf_top_terms(sf_dir: str, k: int = 5, n_buckets: int | None = None):
     ])
 
     def topk_bucket(_b: int, t) -> pa.Table:
+        """Vectorized per-doc top-k over CODES: rank codes by the
+        lexicographic order of the unified dictionary (small; one
+        object argsort over the vocab), then one numpy lexsort of
+        (doc asc, tfidf desc, term-rank asc) and a boundary-scan rank.
+        Terms decode to strings only for the k kept rows."""
         if t is None or t.num_rows == 0:
             return schema.empty_table()
-        df = t.select(["doc_id", "term", "tfidf"]).to_pandas()
-        df = df.sort_values(["doc_id", "tfidf", "term"],
-                            ascending=[True, False, True], kind="mergesort")
-        df["rank"] = df.groupby("doc_id", sort=False).cumcount() + 1
-        out = df[df["rank"] <= k].reset_index(drop=True)
-        out["rank"] = out["rank"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False).cast(schema)
+        tcol = t["term"].combine_chunks()
+        codes = tcol.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = tcol.dictionary
+        # rank-of-code under lexicographic vocab order
+        vorder = np.argsort(np.asarray(vocab.to_pandas(), dtype=object),
+                            kind="stable")
+        vrank = np.empty(len(vorder), dtype=np.int64)
+        vrank[vorder] = np.arange(len(vorder))
+        doc = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tfidf = t["tfidf"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((vrank[codes], -tfidf, doc))
+        doc_s, codes_s, tfidf_s = doc[order], codes[order], tfidf[order]
+        n = len(doc_s)
+        new_doc = np.r_[True, doc_s[1:] != doc_s[:-1]]
+        start = np.maximum.accumulate(
+            np.where(new_doc, np.arange(n, dtype=np.int64), 0))
+        rank = np.arange(n, dtype=np.int64) - start + 1
+        keep = rank <= k
+        return pa.table({
+            "doc_id": pa.array(doc_s[keep], pa.int64()),
+            "term": pc.take(vocab, pa.array(codes_s[keep])).cast(pa.string()),
+            "tfidf": pa.array(tfidf_s[keep], pa.float64()),
+            "rank": pa.array(rank[keep], pa.int64())}).cast(schema)
 
     return bucket_exchange([(scores, "dbucket")], n_buckets, topk_bucket,
-                           map_fns=[add_dbucket])
+                           schemas=[ship_schema], map_fns=[add_dbucket])
 
 
 # --- deterministic split ----------------------------------------------

@@ -791,41 +791,63 @@ def repetition_stats(sf_dir: str):
     fraction. A doc dominated by one repeated phrase scores a high
     ``top_bigram_frac`` and would be filtered upstream of training.
 
-    Vectorized: explode words once per batch (pandas), shift-align to
-    form bigrams within each doc, one groupby for the counts — no
-    per-token Python loop."""
+    Vectorized over Arrow dictionary CODES: ``split_pattern(text, " ")``
+    (single-space split, exactly the oracle's string_split — empty
+    tokens from doubled spaces count as words), ``dictionary_encode``
+    the token stream once, shift-align codes into bigram ids, and every
+    per-doc count is a factorize+bincount / maximum.at — no token ever
+    becomes a Python object."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        ids = batch["doc_id"].reset_index(drop=True)
-        words = texts.str.split(" ").reset_index(drop=True)
-        n_words = words.str.len().astype("int64")
-        ex = words.explode()
-        di = ex.index.to_numpy()
-        dw = ex.to_numpy()
-        mask = np.empty(len(di), dtype=bool)
-        if len(di):
-            mask[:-1] = di[1:] == di[:-1]
-            mask[-1] = False
-        w2 = np.roll(dw, -1)
-        bg = pd.DataFrame({"i": di[mask],
-                           "bg": dw[mask] + np.full(int(mask.sum()), " ",
-                                                    dtype=object) + w2[mask]})
-        cnt = bg.groupby(["i", "bg"], sort=False).size()
-        per_doc = cnt.groupby(level=0)
-        n_bigrams = per_doc.sum().reindex(range(len(ids)), fill_value=0)
-        top_n = per_doc.max().reindex(range(len(ids)), fill_value=0)
-        n_distinct = per_doc.size().reindex(range(len(ids)), fill_value=0)
-        return pd.DataFrame({
-            "doc_id": ids,
-            "n_words": n_words,
-            "n_bigrams": n_bigrams.astype("int64").to_numpy(),
-            "top_bigram_n": top_n.astype("int64").to_numpy(),
-            "dup_bigram_excess": (n_bigrams - n_distinct).astype("int64").to_numpy(),
-            "top_bigram_frac": (top_n / n_bigrams.clip(lower=1)).round(6).to_numpy(),
-        })
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_words", pa.int64()),
+        ("n_bigrams", pa.int64()), ("top_bigram_n", pa.int64()),
+        ("dup_bigram_excess", pa.int64()), ("top_bigram_frac", pa.float64())])
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
+    def stats(t: pa.Table) -> pa.Table:
+        D = t.num_rows
+        if not D:
+            return schema.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = pc.split_pattern(
+            pc.fill_null(t["text"].combine_chunks(), ""), " ")
+        offs = lists.offsets.to_numpy().astype(np.int64)
+        n_words = np.diff(offs)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        codes = pc.dictionary_encode(lists.values).indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        V = max(int(codes.max()) + 1, 1) if len(codes) else 1
+        m = (parent[1:] == parent[:-1]) if len(parent) else np.empty(0, bool)
+        idx = np.flatnonzero(m)
+        n_bigrams = np.zeros(D, dtype=np.int64)
+        top_n = np.zeros(D, dtype=np.int64)
+        n_distinct = np.zeros(D, dtype=np.int64)
+        if len(idx):
+            bgid, bgu = pd.factorize(codes[idx] * np.int64(V)
+                                     + codes[idx + 1])
+            comp = (parent[idx].astype(np.int64) * np.int64(len(bgu))
+                    + bgid)
+            grp, guniq = pd.factorize(comp)
+            counts = np.bincount(grp).astype(np.int64)
+            gparent = (np.asarray(guniq, dtype=np.int64)
+                       // np.int64(len(bgu)))
+            n_bigrams = np.bincount(gparent, weights=counts,
+                                    minlength=D).astype(np.int64)
+            n_distinct = np.bincount(gparent, minlength=D).astype(np.int64)
+            np.maximum.at(top_n, gparent, counts)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "top_bigram_n": pa.array(top_n, pa.int64()),
+            "dup_bigram_excess": pa.array(n_bigrams - n_distinct, pa.int64()),
+            "top_bigram_frac": pa.array(
+                np.round(top_n / np.maximum(n_bigrams, 1), 6), pa.float64()),
+        }).cast(schema)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
 
 
 # ----------------------------------------- model-scoring stage shape

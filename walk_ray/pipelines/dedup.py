@@ -409,68 +409,7 @@ def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
             "sig": sig_rep})
 
     def verify_partition(g: pa.Table) -> pd.DataFrame:
-        """In-bucket verify: TRUE chunk equality at the current band,
-        exact first-band ownership (pairs emit once, globally), inline
-        est filter — nothing but final pairs leaves the partition."""
-        empty = pd.DataFrame(
-            {"a": pd.Series([], dtype="int64"),
-             "b": pd.Series([], dtype="int64"),
-             "est_jaccard": pd.Series([], dtype="float64")})
-        band_np = g["band_id"].to_numpy(zero_copy_only=False)
-        hash_np = g["band_hash"].to_numpy(zero_copy_only=False)
-        doc_all = g["doc_id"].to_numpy(zero_copy_only=False)
-        mat_all = _sig_mat(g["sig"], num_perm)
-        order = np.lexsort((doc_all, hash_np, band_np))
-        band_np, hash_np, doc_all = (band_np[order], hash_np[order],
-                                     doc_all[order])
-        mat_all = mat_all[order]
-        uniq = np.r_[True, (band_np[1:] != band_np[:-1])
-                     | (hash_np[1:] != hash_np[:-1])
-                     | (doc_all[1:] != doc_all[:-1])]
-        band_np, hash_np, doc_all = (band_np[uniq], hash_np[uniq],
-                                     doc_all[uniq])
-        mat_all = mat_all[uniq]
-        bounds = np.flatnonzero(np.r_[
-            True,
-            (band_np[1:] != band_np[:-1]) | (hash_np[1:] != hash_np[:-1]),
-            True])
-        sizes = np.diff(bounds)
-        out_a, out_b, out_j = [], [], []
-        for gi in np.nonzero(sizes >= 2)[0]:
-            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
-            ids = doc_all[lo:hi].astype(np.int64)
-            band = int(band_np[lo])
-            mat = mat_all[lo:hi]
-            C = mat.reshape(len(ids), bands, rows_per_band)
-            for i in range(len(ids) - 1):
-                # true equality at THIS band (bucket key is a
-                # non-crypto hash: membership only gathers candidates)
-                alive = (C[i, band][None, :] == C[i + 1:, band]).all(axis=1)
-                if band > 0 and alive.any():
-                    # ownership: kill pairs owned by an earlier band
-                    alive &= ~(C[i, 0][None, :]
-                               == C[i + 1:, 0]).all(axis=1)
-                    if band > 1:
-                        surv = np.nonzero(alive)[0]
-                        if len(surv):
-                            ec = (C[i, 1:band][None]
-                                  == C[i + 1:, 1:band][surv]).all(axis=2)
-                            alive[surv[ec.any(axis=1)]] = False
-                cand = np.nonzero(alive)[0]
-                if not len(cand):
-                    continue
-                comp = mat[i] == mat[i + 1:][cand]
-                eq = comp.mean(axis=1)
-                sel = np.nonzero(eq >= threshold)[0]
-                if len(sel):
-                    out_a.append(np.full(len(sel), ids[i], dtype=np.int64))
-                    out_b.append(ids[i + 1 + cand[sel]])
-                    out_j.append(np.round(eq[sel], 6))
-        if not out_a:
-            return empty
-        return pd.DataFrame({"a": np.concatenate(out_a),
-                             "b": np.concatenate(out_b),
-                             "est_jaccard": np.concatenate(out_j)})
+        return _verify_sig_partition(g, num_perm, bands, threshold)
 
     def verify_reduce(_b: int, t):
         if t is None or t.num_rows == 0:
@@ -484,6 +423,118 @@ def _lsh_pairs_sig_on_band(sigs, num_perm: int, bands: int,
     # inside the split task, block → bucket slices directly
     return bucket_exchange([(sigs, "bucket")], nparts, verify_reduce,
                            schemas=[band_schema], map_fns=[band_rows])
+
+
+def _verify_sig_partition(g: pa.Table, num_perm: int, bands: int,
+                          threshold: float) -> pd.DataFrame:
+    """In-bucket verify: TRUE chunk equality at the current band,
+    exact first-band ownership (pairs emit once, globally), inline
+    est filter — nothing but final pairs leaves the partition."""
+    rows_per_band = num_perm // bands
+    empty = pd.DataFrame(
+        {"a": pd.Series([], dtype="int64"),
+         "b": pd.Series([], dtype="int64"),
+         "est_jaccard": pd.Series([], dtype="float64")})
+    band_np = g["band_id"].to_numpy(zero_copy_only=False)
+    hash_np = g["band_hash"].to_numpy(zero_copy_only=False)
+    doc_all = g["doc_id"].to_numpy(zero_copy_only=False)
+    mat_all = _sig_mat(g["sig"], num_perm)
+    order = np.lexsort((doc_all, hash_np, band_np))
+    band_np, hash_np, doc_all = (band_np[order], hash_np[order],
+                                 doc_all[order])
+    mat_all = mat_all[order]
+    uniq = np.r_[True, (band_np[1:] != band_np[:-1])
+                 | (hash_np[1:] != hash_np[:-1])
+                 | (doc_all[1:] != doc_all[:-1])]
+    band_np, hash_np, doc_all = (band_np[uniq], hash_np[uniq],
+                                 doc_all[uniq])
+    mat_all = mat_all[uniq]
+    bounds = np.flatnonzero(np.r_[
+        True,
+        (band_np[1:] != band_np[:-1]) | (hash_np[1:] != hash_np[:-1]),
+        True])
+    sizes = np.diff(bounds)
+    out_a, out_b, out_j = [], [], []
+    sig_dt = [(f"f{p}", np.uint64) for p in range(num_perm)]
+    for gi in np.nonzero(sizes >= 2)[0]:
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+        ids = doc_all[lo:hi].astype(np.int64)
+        band = int(band_np[lo])
+        mat = mat_all[lo:hi]
+        # Dup-heavy groups hold many IDENTICAL signatures; est,
+        # band equality and ownership are functions of the sig
+        # alone, so factorize sigs into runs, decide once per
+        # RUN-pair, and expand to doc pairs vectorized. Unique-sig
+        # groups degrade to m == k with fully-vectorized pair
+        # checks (no per-row fancy-index copies).
+        sv = np.ascontiguousarray(mat).view(sig_dt).ravel()
+        _, first_idx, inv = np.unique(sv, return_index=True,
+                                      return_inverse=True)
+        m = len(first_idx)
+        rorder = np.argsort(inv, kind="stable")
+        inv_s, ids_s = inv[rorder], ids[rorder]
+        run_bounds = np.flatnonzero(
+            np.r_[True, inv_s[1:] != inv_s[:-1], True])
+        run_sizes = np.diff(run_bounds)
+        U = mat[first_idx]                       # m × num_perm
+        B = U.reshape(m, bands, rows_per_band)
+        if band == 0 and threshold <= 1.0:
+            # intra-run pairs: identical sigs, est exactly 1.0;
+            # band 0 owns them (equal at band 0 by definition)
+            for r in np.nonzero(run_sizes >= 2)[0]:
+                rid = np.sort(ids_s[run_bounds[r]:run_bounds[r + 1]])
+                iu, ju = np.triu_indices(len(rid), k=1)
+                out_a.append(rid[iu])
+                out_b.append(rid[ju])
+                out_j.append(np.ones(len(iu), dtype=np.float64))
+        if m >= 2 and not (band > 0 and (B[:, 0] == B[0, 0]).all()):
+            # (the guard: when every run in a band>0 group is equal at
+            # band 0, band 0 owns every cross-run pair — skip in O(m))
+            ria, rib, rj = [], [], []
+            for i in range(m - 1):
+                # true equality at THIS band (bucket key is a
+                # non-crypto hash: membership only gathers candidates)
+                alive = (B[i, band][None, :] == B[i + 1:, band]).all(axis=1)
+                if band > 0 and alive.any():
+                    # ownership: kill pairs owned by an earlier band
+                    alive &= ~(B[i, 0][None, :]
+                               == B[i + 1:, 0]).all(axis=1)
+                    if band > 1:
+                        surv = np.nonzero(alive)[0]
+                        if len(surv):
+                            ec = (B[i, 1:band][None]
+                                  == B[i + 1:, 1:band][surv]).all(axis=2)
+                            alive[surv[ec.any(axis=1)]] = False
+                cand = np.nonzero(alive)[0]
+                if not len(cand):
+                    continue
+                eq = (U[i] == U[i + 1:][cand]).mean(axis=1)
+                sel = np.nonzero(eq >= threshold)[0]
+                if len(sel):
+                    ria.append(np.full(len(sel), i, dtype=np.int64))
+                    rib.append(i + 1 + cand[sel])
+                    rj.append(eq[sel])
+            if ria:
+                # expand surviving RUN pairs to doc pairs, vectorized
+                ia = np.concatenate(ria)
+                ju_ = np.concatenate(rib)
+                est = np.concatenate(rj)
+                sa, sb = run_sizes[ia], run_sizes[ju_]
+                cnt = sa * sb
+                total = int(cnt.sum())
+                p = np.repeat(np.arange(len(ia)), cnt)
+                start = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+                t_loc = np.arange(total) - start[p]
+                a_doc = ids_s[run_bounds[ia][p] + t_loc // sb[p]]
+                b_doc = ids_s[run_bounds[ju_][p] + t_loc % sb[p]]
+                out_a.append(np.minimum(a_doc, b_doc))
+                out_b.append(np.maximum(a_doc, b_doc))
+                out_j.append(np.round(np.repeat(est, cnt), 6))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "est_jaccard": np.concatenate(out_j)})
 
 
 def minhash_lsh_pairs(sf_dir: str, num_perm: int = 128, bands: int = 32, ngram: int = 3,
@@ -1301,34 +1352,54 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])
 
     def verify_reduce(_b: int, docs_t, pairs_t) -> pa.Table:
-        """Exact-Jaccard verify for every pair in one partition: each
-        doc's gram set is built ONCE from its serialized bytes, then
-        every pair is a dict lookup + one C-level set intersection."""
+        """Exact-Jaccard verify for every pair in one partition.
+        Identical serialized gram sets collapse into CLASSES
+        (factorize on the bytes), jaccard is computed ONCE per unique
+        class pair (a dict lookup + one C-level set intersection), and
+        the per-pair result is a vectorized gather — on dup-heavy
+        corpora the set work drops from O(pairs) to O(distinct-set
+        pairs)."""
         if docs_t is None or pairs_t is None or not pairs_t.num_rows:
             return pairs_schema.empty_table()
-        gmap: dict[int, set] = {}
-        for d, by in zip(docs_t["doc_id"].to_numpy(zero_copy_only=False),
-                         docs_t["gbytes"].to_pylist()):
-            if d not in gmap:
-                gmap[int(d)] = set(by.split(b"\x00")) if by else set()
-        out = {"a": [], "b": [], "jaccard": []}
-        for pa_, pb_ in zip(pairs_t["pa"].to_numpy(zero_copy_only=False),
-                            pairs_t["pb"].to_numpy(zero_copy_only=False)):
-            ga = gmap.get(int(pa_))
-            gbs = gmap.get(int(pb_))
-            if ga is None or gbs is None:
-                continue  # orphan pair (doc missing from grams)
+        d_ids = docs_t["doc_id"].to_numpy(zero_copy_only=False)
+        codes, uniq_bytes = pd.factorize(
+            pd.Series(docs_t["gbytes"].to_pylist(), dtype=object))
+        # doc -> class (first occurrence wins; dup doc rows agree)
+        order = np.argsort(d_ids, kind="stable")
+        ds_sorted, cs_sorted = d_ids[order], codes[order]
+        first = np.r_[True, ds_sorted[1:] != ds_sorted[:-1]]
+        doc_sorted, cls_sorted = ds_sorted[first], cs_sorted[first]
+        pa_ = pairs_t["pa"].to_numpy(zero_copy_only=False)
+        pb_ = pairs_t["pb"].to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(doc_sorted, pa_)
+        ib = np.searchsorted(doc_sorted, pb_)
+        n = len(doc_sorted)
+        ok = ((ia < n) & (ib < n)
+              & (doc_sorted[np.minimum(ia, n - 1)] == pa_)
+              & (doc_sorted[np.minimum(ib, n - 1)] == pb_))
+        pa_, pb_ = pa_[ok], pb_[ok]  # drop orphan pairs
+        ca, cb = cls_sorted[ia[ok]], cls_sorted[ib[ok]]
+        lo = np.minimum(ca, cb).astype(np.int64)
+        hi = np.maximum(ca, cb).astype(np.int64)
+        nc = np.int64(len(uniq_bytes))
+        ukey, inv = np.unique(lo * nc + hi, return_inverse=True)
+        sets = [set(by.split(b"\x00")) if by else set()
+                for by in uniq_bytes]
+        jac_u = np.empty(len(ukey), dtype=np.float64)
+        for idx in range(len(ukey)):
+            i, j = divmod(int(ukey[idx]), int(nc))
+            ga, gbs = sets[i], sets[j]
             inter = len(ga & gbs)
-            if not inter:
-                continue
-            j = inter / (len(ga) + len(gbs) - inter)
-            if j >= threshold:
-                out["a"].append(int(pa_))
-                out["b"].append(int(pb_))
-                out["jaccard"].append(round(j, 6))
+            # sentinel -1: the original skips zero-intersection pairs
+            # outright, even at threshold 0
+            jac_u[idx] = (-1.0 if not inter
+                          else inter / (len(ga) + len(gbs) - inter))
+        jac = jac_u[inv]
+        keep = jac >= threshold
         return pa.table(
-            {"a": pa.array(out["a"], pa.int64()), "b": pa.array(out["b"], pa.int64()),
-             "jaccard": pa.array(out["jaccard"], pa.float64())})
+            {"a": pa.array(pa_[keep].astype(np.int64), pa.int64()),
+             "b": pa.array(pb_[keep].astype(np.int64), pa.int64()),
+             "jaccard": pa.array(np.round(jac[keep], 6), pa.float64())})
 
     verified = bucket_exchange(
         [(doc_parts, "part"), (pair_rows, "part")], NPARTS, verify_reduce)

@@ -104,3 +104,62 @@ def test_minhash_plans_agree():
     assert len(a) > 0
     with pytest.raises(ValueError):
         dedup.minhash_lsh_pairs(SF, plan="bogus")
+
+
+def test_verify_sig_partition_matches_bruteforce():
+    """The run-factorized in-bucket verify kernel (band equality,
+    first-band ownership, est filter, run→doc expansion) against a
+    per-pair brute force, on a synthetic partition heavy in identical
+    signatures — the regime the factorization exists for."""
+    import numpy as np
+    import pyarrow as pa
+
+    num_perm, bands = 16, 4
+    rpb = num_perm // bands
+    rng = np.random.default_rng(7)
+    n_runs, n_docs = 6, 40
+    U = rng.integers(0, 2**63, size=(n_runs, num_perm), dtype=np.uint64)
+    # make runs 0/1 equal at band 0 only, runs 2/3 equal at band 2 only
+    U[1, :rpb] = U[0, :rpb]
+    U[3, 2 * rpb:3 * rpb] = U[2, 2 * rpb:3 * rpb]
+    assign = rng.integers(0, n_runs, size=n_docs)
+    M = U[assign]
+    doc = np.arange(100, 100 + n_docs, dtype=np.int64)
+    # band rows: every (doc, band), bucket ignored (single partition)
+    C = M.reshape(n_docs, bands, rpb)
+    rows = {"doc_id": [], "band_id": [], "band_hash": [], "sig": []}
+    for d in range(n_docs):
+        for b in range(bands):
+            rows["doc_id"].append(int(doc[d]))
+            rows["band_id"].append(b)
+            # hash = the chunk itself mixed; any injective-enough key
+            rows["band_hash"].append(int(C[d, b].sum() % (2**63)))
+            rows["sig"].append(M[d].tobytes())
+    g = pa.table({
+        "doc_id": pa.array(rows["doc_id"], pa.int64()),
+        "band_id": pa.array(rows["band_id"], pa.int64()),
+        "band_hash": pa.array(rows["band_hash"], pa.uint64()),
+        "sig": pa.array(rows["sig"], pa.binary(num_perm * 8)),
+    })
+    for threshold in (0.0, 0.4, 0.9):
+        got = dedup._verify_sig_partition(g, num_perm, bands, threshold)
+        got = got.sort_values(["a", "b"]).reset_index(drop=True)
+        # brute force: pair iff chunks equal at some band; owning band
+        # = first equal band; est = fraction of equal perms
+        exp = {"a": [], "b": [], "est_jaccard": []}
+        for i in range(n_docs):
+            for j in range(i + 1, n_docs):
+                eq_bands = [b for b in range(bands)
+                            if (C[i, b] == C[j, b]).all()]
+                if not eq_bands:
+                    continue
+                est = float((M[i] == M[j]).mean())
+                if est >= threshold:
+                    exp["a"].append(int(doc[i]))
+                    exp["b"].append(int(doc[j]))
+                    exp["est_jaccard"].append(round(est, 6))
+        exp = pd.DataFrame(exp).sort_values(["a", "b"]).reset_index(drop=True)
+        assert len(got) == len(exp), (threshold, len(got), len(exp))
+        pd.testing.assert_frame_equal(got.astype(
+            {"a": "int64", "b": "int64"}), exp.astype(
+            {"a": "int64", "b": "int64"}))

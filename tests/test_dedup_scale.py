@@ -163,3 +163,21 @@ def test_verify_sig_partition_matches_bruteforce():
         pd.testing.assert_frame_equal(got.astype(
             {"a": "int64", "b": "int64"}), exp.astype(
             {"a": "int64", "b": "int64"}))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_tuned_banding_subset_of_default():
+    """bands=16 (r=8, the high-threshold tuning) trades candidate
+    recall at the boundary for a steeper sensitivity curve; its output
+    must be a subset of the default-band output with the same exact
+    jaccard values, and near-complete on this dup-heavy table."""
+    base = dedup.ngram_jaccard_pairs(SF, n=1, threshold=0.8,
+                                     exact=False).to_pandas()
+    tuned = dedup.ngram_jaccard_pairs(SF, n=1, threshold=0.8,
+                                      exact=False, bands=16).to_pandas()
+    bk = set(map(tuple, base[["a", "b"]].itertuples(index=False)))
+    tk = set(map(tuple, tuned[["a", "b"]].itertuples(index=False)))
+    assert tk <= bk
+    assert len(tk) >= 0.9 * len(bk), (len(tk), len(bk))
+    merged = tuned.merge(base, on=["a", "b"], suffixes=("_t", "_b"))
+    assert (merged["jaccard_t"] == merged["jaccard_b"]).all()

@@ -1194,7 +1194,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
 
 # -------------------------------------------------- exact n-gram jaccard
 
-def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: bool = True):
+def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: bool = True,
+                        bands: int = 32):
     """Pairs (a, b, jaccard≥threshold) over word-n-gram sets.
 
     ``exact=True``: blocked all-pairs baseline — each batch of docs is
@@ -1205,6 +1206,20 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     bucketed co-partition join, and exact Jaccard runs per verify
     partition — corpus-sized state never leaves the Dataset/object
     store and never lands on the driver.
+
+    ``bands`` tunes the LSH sensitivity curve (rows-per-band =
+    128/bands; collision probability 1-(1-j^r)^b). The default b=32,
+    r=4 is recall-generous down to the lowest thresholds this repo
+    oracles (j≈0.5 collides with P≈1-4e-5 per truly-similar pair).
+    On corpora with heavy INTERMEDIATE similarity (template clusters
+    at j≈0.6-0.7) and a high target threshold, that curve makes
+    nearly every template pair a candidate — measured 166M candidate
+    pairs from 50k docs at threshold 0.8 (see BASELINE.md round-5
+    volume notes). There, pass bands=16 (r=8): collision at j=0.6
+    drops from 98.8% to 24% while j≥0.9 pairs still collide at
+    P≥99.9%; output stays exact-Jaccard-verified — the approximation
+    is candidate recall at the threshold boundary, the same contract
+    minhash_lsh_dedup documents.
     """
     import ray
     import ray.data as rd
@@ -1282,7 +1297,7 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     NPARTS = 64
     NB = 64  # doc-hash buckets of the membership ⋈ grams join
 
-    cand = minhash_lsh_pairs(sf_dir, ngram=n,
+    cand = minhash_lsh_pairs(sf_dir, ngram=n, bands=bands,
                              threshold=max(0.0, threshold - 0.2))
 
     def pair_part(batch: pd.DataFrame) -> pd.DataFrame:

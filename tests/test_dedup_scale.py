@@ -181,3 +181,28 @@ def test_ngram_tuned_banding_subset_of_default():
     assert len(tk) >= 0.9 * len(bk), (len(tk), len(bk))
     merged = tuned.merge(base, on=["a", "b"], suffixes=("_t", "_b"))
     assert (merged["jaccard_t"] == merged["jaccard_b"]).all()
+
+
+def test_gram_bytes_rows_byte_parity():
+    """The pure-Arrow gram-serialization kernel is byte-identical to
+    the per-doc Python construction across n, including empty, null,
+    whitespace-heavy, unicode and shorter-than-n docs."""
+    import pyarrow as pa
+
+    from walk_ray.pipelines.dedup import _gram_bytes_rows, _word_ngrams
+
+    texts = ["the quick brown fox", "", "  spaced   out  tokens ", None,
+             "a b a b a", "one", "unicode héllo zèta alpha héllo",
+             "t1 t2 t3 t4 t5 t6 t7 t2 t3 t4"]
+    ids = list(range(10, 10 + len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    for n in (1, 2, 3):
+        out = _gram_bytes_rows(t, n, 7)
+        got = dict(zip(out["doc_id"].to_pylist(), out["gbytes"].to_pylist()))
+        for i, tx in zip(ids, texts):
+            ref = "\x00".join(
+                sorted(set(_word_ngrams((tx or "").split(), n)))).encode()
+            assert got[i] == ref, (n, i)
+        db = dict(zip(out["doc_id"].to_pylist(), out["dbucket"].to_pylist()))
+        assert all(db[i] == i % 7 for i in ids)

@@ -1194,6 +1194,94 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
 
 # -------------------------------------------------- exact n-gram jaccard
 
+_GB_SCHEMA = pa.schema([("doc_id", pa.int64()), ("gbytes", pa.binary()),
+                        ("dbucket", pa.int64())])
+
+
+def _gram_bytes_rows(t: pa.Table, n: int, nb: int) -> pa.Table:
+    """(doc_id, gbytes, dbucket) rows straight from raw doc text —
+    pure Arrow/numpy (the lm_perplexity idiom): tokenize with
+    ``utf8_split_whitespace`` (``str.split()`` parity after dropping
+    boundary-empty tokens), build n-gram strings with one
+    ``binary_join_element_wise`` over shifted zero-copy slices,
+    ``dictionary_encode`` once, distinct+sort per doc over integer
+    (doc, vocab-rank) keys, and render each doc's serialized set with
+    one C++ ``binary_join``. Byte-identical to
+    ``"\\x00".join(sorted(set(_word_ngrams(text.split(), n)))).encode()``
+    (UTF-8 byte order == code-point order); every doc emits a row,
+    empty/short docs as empty bytes."""
+    import pyarrow.compute as pc
+
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    D = len(ids)
+    if not D:
+        return _GB_SCHEMA.empty_table()
+    toks = pc.utf8_split_whitespace(
+        pc.fill_null(t["text"].combine_chunks(), ""))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if not nonempty.all():
+        sel = pa.array(np.nonzero(nonempty)[0])
+        flat = pc.take(flat, sel)
+        parent = parent[nonempty]
+    L = len(flat)
+    if n == 1:
+        grams, gparent = flat, parent
+    else:
+        tokc = (np.bincount(parent, minlength=D).astype(np.int64)
+                if L else np.zeros(D, dtype=np.int64))
+        if L >= n:
+            # gram i spans tokens [i, i+n) — valid iff it stays in
+            # one doc
+            mask = parent[: L - n + 1] == parent[n - 1:]
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(k, L - n + 1) for k in range(n)], " ")
+            grams = pc.take(grams, pa.array(np.nonzero(mask)[0]))
+            gparent = parent[: L - n + 1][mask]
+        else:
+            grams, gparent = flat.slice(0, 0), parent[:0]
+        short = np.nonzero((tokc > 0) & (tokc < n))[0]
+        if len(short):
+            # _word_ngrams' short-doc case: 0 < len(words) < n docs
+            # contribute ONE gram — the join of all their tokens
+            is_short = tokc[parent] < n
+            stoks = pc.take(flat, pa.array(np.nonzero(is_short)[0]))
+            soff = np.zeros(len(short) + 1, dtype=np.int32)
+            np.cumsum(tokc[short], out=soff[1:])
+            sgrams = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(soff, pa.int32()),
+                                         stoks), " ")
+            grams = pa.concat_arrays([grams, sgrams])
+            gparent = np.concatenate([gparent, short])
+    if len(grams):
+        enc = pc.dictionary_encode(grams)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        gvocab = enc.dictionary
+        V = len(gvocab)
+        order = pc.sort_indices(gvocab).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rank = np.empty(V, dtype=np.int64)
+        rank[order] = np.arange(V, dtype=np.int64)
+        key = np.unique(gparent * np.int64(V) + rank[codes])
+        gdoc = key // V
+        vals = pc.take(gvocab, pa.array(order[key % V]))
+        counts = np.bincount(gdoc, minlength=D)
+    else:
+        vals = grams
+        counts = np.zeros(D, dtype=np.int64)
+    offsets = np.zeros(D + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    glist = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     vals.cast(pa.string()))
+    gbytes = pc.binary_join(glist, "\x00").cast(pa.binary())
+    return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                     "gbytes": gbytes,
+                     "dbucket": pa.array(ids % np.int64(nb), pa.int64())})
+
+
 def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: bool = True,
                         bands: int = 32):
     """Pairs (a, b, jaccard≥threshold) over word-n-gram sets.
@@ -1226,19 +1314,18 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
 
     docs = _docs(sf_dir)
 
-    def gram_sets(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "grams": [
-                    sorted(set(_word_ngrams(t.split(), n))) for t in batch["text"].fillna("")
-                ],
-            }
-        )
-
-    grams_ds = docs.map_batches(gram_sets, batch_format="pandas")
-
     if exact:
+        def gram_sets(batch: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": batch["doc_id"],
+                    "grams": [
+                        sorted(set(_word_ngrams(t.split(), n))) for t in batch["text"].fillna("")
+                    ],
+                }
+            )
+
+        grams_ds = docs.map_batches(gram_sets, batch_format="pandas")
         gram_map = {int(r["doc_id"]): set(r["grams"]) for r in grams_ds.take_all()}
         gram_ref = ray.put(gram_map)
 
@@ -1324,27 +1411,12 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
 
     membership = pair_rows.map_batches(doc_part_rows, batch_format="pandas")
 
-    def gram_bytes(batch: pd.DataFrame) -> pd.DataFrame:
-        # each doc's gram set serialized ONCE as one \x00-joined bytes
-        # value — downstream repeats a cheap bytes ref, never a
-        # per-row Python string list
-        ids = batch["doc_id"].to_numpy(dtype=np.int64)
-        return pd.DataFrame(
-            {"doc_id": ids,
-             "gbytes": ["\x00".join(g).encode() for g in batch["grams"]],
-             "dbucket": ids % NB})
-
-    gb_schema = pa.schema([("doc_id", pa.int64()), ("gbytes", pa.binary()),
-                           ("dbucket", pa.int64())])
-
     def gram_bytes_t(t: pa.Table) -> pa.Table:
-        # fused split-side map — the serialized gram sets (≈ corpus
-        # text volume) never materialize as their own Dataset
-        df = gram_bytes(t.to_pandas())
-        if not len(df):
-            return gb_schema.empty_table()
-        return pa.Table.from_pandas(df, schema=gb_schema,
-                                    preserve_index=False)
+        # fused split-side map, raw text → serialized gram sets in one
+        # pure-Arrow kernel — the per-doc gram lists (≈ corpus text
+        # volume) never materialize as their own Dataset and never
+        # become Python objects
+        return _gram_bytes_rows(t, n, NB)
 
     doc_part_schema = pa.schema(
         [("part", pa.int64()), ("doc_id", pa.int64()), ("gbytes", pa.binary())])
@@ -1360,8 +1432,8 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
         return pa.Table.from_pandas(out, preserve_index=False).cast(doc_part_schema)
 
     doc_parts = bucket_exchange(
-        [(membership, "dbucket"), (grams_ds, "dbucket")], NB, join_reduce,
-        schemas=[None, gb_schema], map_fns=[None, gram_bytes_t])
+        [(membership, "dbucket"), (docs, "dbucket")], NB, join_reduce,
+        schemas=[None, _GB_SCHEMA], map_fns=[None, gram_bytes_t])
 
     pairs_schema = pa.schema(
         [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())])

@@ -136,29 +136,68 @@ def orders_by_nation(sf_dir: str):
 
 def events_tumbling_window(sf_dir: str, window_sec: int = 3600):
     """Streaming-shaped tumbling window: count + sum(value) per
-    (event_type, hour window). Window id computed vectorized per
-    batch; the groupby shuffles only (type, window) partials."""
-    from ray.data.aggregate import Count, Sum
-
+    (event_type, hour window). Window id + per-block partial agg fuse
+    into the exchange split task; the exchange moves one row per
+    (type, window) per block and each hash bucket completes the sums
+    (exchange instead of Dataset.groupby: dense-hash-bucket keys,
+    see stages/exchange.py)."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
-    def add_window(batch: pa.Table) -> pa.Table:
+    from zlib import crc32
+
+    from walk_ray.stages.exchange import bucket_exchange
+
+    NB = 32
+    win_schema = pa.schema([("event_type", pa.string()),
+                            ("window_start", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("sum_value", pa.float64()),
+                            ("bucket", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # fused split-side map: window id + per-block partial agg —
+        # the exchange moves one row per (type, window) per block
         secs = pc.divide(pc.cast(batch["ts"], pa.int64()), 1_000_000)
         win = pc.multiply(pc.floor(pc.divide(pc.cast(secs, pa.float64()), window_sec)), window_sec)
-        return batch.append_column("window_start", pc.cast(win, pa.int64()))
+        t = pa.table({"event_type": batch["event_type"],
+                      "window_start": pc.cast(win, pa.int64()),
+                      "value": batch["value"]})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "count"), ("value", "sum")])
+        et = g["event_type"].combine_chunks()
+        enc = pc.dictionary_encode(et)
+        th = np.fromiter((crc32(s.encode()) for s in enc.dictionary.to_pylist()),
+                         dtype=np.int64, count=len(enc.dictionary))
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ws = g["window_start"].to_numpy(zero_copy_only=False)
+        bucket = (th[codes] ^ ws) % np.int64(NB)
+        return pa.table({"event_type": et,
+                         "window_start": g["window_start"],
+                         "n_events": g["value_count"].cast(pa.int64()),
+                         "sum_value": g["value_sum"].cast(pa.float64()),
+                         "bucket": pa.array(bucket, pa.int64())})
 
-    out = (
-        ds.map_batches(add_window, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-    )
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("window_start", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("sum_value", pa.float64())])
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["sum_value"].round(4)
-        batch["n_events"] = batch["n_events"].astype("int64")
-        return batch
+    def combine(_b: int, t) -> pa.Table:
+        if t is None or not t.num_rows:
+            return out_schema.empty_table()
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        # np.round, not pc.round: Arrow rounds to a different nearest
+        # double in the last ulp and the oracle hash compares reprs
+        sv = np.round(g["sum_value_sum"].to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "n_events": g["n_events_sum"].cast(pa.int64()),
+            "sum_value": pa.array(sv, pa.float64())})
 
-    return out.map_batches(finish, batch_format="pandas")
+    return bucket_exchange([(ds, "bucket")], NB, combine,
+                           schemas=[win_schema], map_fns=[partial])
 
 
 def _bucket_col(vals, n_buckets: int = 64) -> np.ndarray:
@@ -175,12 +214,15 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     a bucket compute in one vectorized pass (sort + boundary cumsum),
     so group count — and per-group overhead — is independent of user
     cardinality."""
+    from walk_ray.stages.exchange import bucket_exchange
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = _bucket_col(batch["user_id"])
-        return batch
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket",
+            pa.array(_bucket_col(t["user_id"].to_numpy(zero_copy_only=False)),
+                     pa.int64()))
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -199,55 +241,109 @@ def events_sessionize(sf_dir: str, gap_sec: int = 1800):
         agg["sum_value"] = agg["sum_value"].round(4)
         return agg[["user_id", "session_start", "n_events", "sum_value"]]
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(sessions, batch_format="pandas")
-    )
+    sess_schema = pa.schema([("user_id", pa.int64()),
+                             ("session_start", pa.int64()),
+                             ("n_events", pa.int64()),
+                             ("sum_value", pa.float64())])
+
+    def sessions_reduce(_b: int, t) -> pa.Table:
+        # every user in the bucket sessionizes in one vectorized pass
+        # (exchange instead of Dataset.groupby(bucket).map_groups: the
+        # key is already a dense hash bucket, the sort buys nothing)
+        if t is None or not t.num_rows:
+            return sess_schema.empty_table()
+        return pa.Table.from_pandas(
+            sessions(t.drop_columns(["__bucket"]).to_pandas()),
+            preserve_index=False).cast(sess_schema)
+
+    return bucket_exchange([(ds, "__bucket")], 64, sessions_reduce,
+                           map_fns=[add_bucket])
 
 
 def latest_event_per_user(sf_dir: str):
     """As-of-style lookup (J3 analog on the events log): each user's
     latest event (max ts; ties broken by max event_id). Bucketed like
     sessionize — one vectorized drop_duplicates per bucket."""
+    from walk_ray.stages.exchange import bucket_exchange
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "event_type", "value"])
 
-    def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["__bucket"] = _bucket_col(batch["user_id"])
-        return batch
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # per-block partial: keep only each user's block-local latest
+        # row, so the exchange moves ≤ users-per-block rows per block
+        g = t.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                      kind="mergesort")
+        g = g.drop_duplicates("user_id", keep="last")
+        g["__bucket"] = _bucket_col(g["user_id"])
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     def latest(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         g = g.drop_duplicates("user_id", keep="last")
         return g[["user_id", "event_id", "event_type", "value"]]
 
-    return (
-        ds.map_batches(add_bucket, batch_format="pandas")
-        .groupby("__bucket")
-        .map_groups(latest, batch_format="pandas")
-    )
+    def latest_reduce(_b: int, t) -> pa.Table:
+        if t is None or not t.num_rows:
+            return pa.schema([("user_id", pa.int64()),
+                              ("event_id", pa.int64()),
+                              ("event_type", pa.string()),
+                              ("value", pa.float64())]).empty_table()
+        return pa.Table.from_pandas(
+            latest(t.drop_columns(["__bucket"]).to_pandas()),
+            preserve_index=False)
+
+    return bucket_exchange([(ds, "__bucket")], 64, latest_reduce,
+                           map_fns=[add_bucket])
 
 
 def top_parts_by_revenue(sf_dir: str, k: int = 20):
-    """Top-k: revenue per part over lineitem, global top-k via
-    aggregate → sort → limit (the top-k result is tiny)."""
-    from ray.data.aggregate import Sum
+    """Top-k: revenue per part over lineitem. The per-batch partial
+    aggregation fuses into the exchange split task, each hash(part)
+    bucket completes its sums and emits only its LOCAL top-k (a part
+    lives wholly in one bucket, so the union of per-bucket top-ks
+    contains the global top-k), and the final sort touches just
+    n_buckets × k rows. A Dataset.groupby+sort here would sort-shuffle
+    every part row to produce 20 — the dense-hash-bucket case
+    stages/exchange.py exists for."""
+    import numpy as np
 
+    from walk_ray.stages.exchange import bucket_exchange
+
+    NB = 64
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
 
+    part_schema = pa.schema([("l_partkey", pa.int64()),
+                             ("revenue", pa.float64()),
+                             ("bucket", pa.int64())])
+
     def rev(batch: pa.Table) -> pa.Table:
-        # partial per-batch aggregation in Arrow: the shuffle carries
-        # one row per distinct partkey per batch
-        r = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        # fused split-side map: the exchange carries one row per
+        # distinct partkey per block
+        r = pc.multiply(batch["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), batch["l_discount"]))
         t = pa.table({"l_partkey": batch["l_partkey"], "revenue": r})
         g = t.group_by(["l_partkey"]).aggregate([("revenue", "sum")])
-        return g.rename_columns(["revenue" if c == "revenue_sum" else c for c in g.column_names])
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(pk, pa.int64()),
+                         "revenue": g["revenue_sum"].cast(pa.float64()),
+                         "bucket": pa.array(pk % np.int64(NB), pa.int64())})
+
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("revenue", pa.float64())])
+
+    def topk_reduce(_b: int, t) -> pa.Table:
+        if t is None or not t.num_rows:
+            return out_schema.empty_table()
+        g = t.group_by(["l_partkey"]).aggregate([("revenue", "sum")])
+        pk = g["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = g["revenue_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, -rv))[:k]
+        return pa.table({"l_partkey": pa.array(pk[order], pa.int64()),
+                         "revenue": pa.array(rv[order], pa.float64())})
 
     out = (
-        ds.map_batches(rev, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Sum("revenue", alias_name="revenue"))
+        bucket_exchange([(ds, "bucket")], NB, topk_reduce,
+                        schemas=[part_schema], map_fns=[rev])
         .sort(["revenue", "l_partkey"], descending=[True, False])
         .limit(k)
     )

@@ -207,6 +207,53 @@ def _bucket_col(vals, n_buckets: int = 64) -> np.ndarray:
     return (np.asarray(vals, dtype=np.int64) % n_buckets).astype(np.int64)
 
 
+def _key_buckets(vals, n_buckets: int) -> np.ndarray:
+    """Vectorized join-key → bucket: a u64 mix for integer keys; for
+    other dtypes, blake2b once per UNIQUE value (factorized) — never
+    one Python hash call per row."""
+    import hashlib as _hl
+
+    arr = np.asarray(vals)
+    if arr.dtype.kind in "iu":
+        x = arr.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = (x ^ (x >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            x ^= x >> np.uint64(29)
+        return (x % np.uint64(n_buckets)).astype(np.int64)
+    codes, uniq = pd.factorize(pd.Series(vals))
+    hb = np.fromiter(
+        (int.from_bytes(_hl.blake2b(str(v).encode(), digest_size=4).digest(),
+                        "big") % n_buckets for v in uniq),
+        dtype=np.int64, count=len(uniq))
+    return hb[codes]
+
+
+def _tag_bucket(key: str, n_buckets: int):
+    """Split-side map_fn: append the join-key bucket column."""
+    def _t(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__bucket",
+            pa.array(_key_buckets(t[key].to_numpy(zero_copy_only=False),
+                                  n_buckets), pa.int64()))
+    return _t
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    """Arrow schema of a Dataset; pandas-block datasets report numpy
+    dtypes (and bare ``object`` for strings) — map those best-effort,
+    it only seeds typed EMPTY frames."""
+    s = ds.schema()
+    fields = []
+    for nm, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            try:
+                t = pa.from_numpy_dtype(np.dtype(t))
+            except (TypeError, ValueError, pa.ArrowNotImplementedError):
+                t = pa.string()
+        fields.append((nm, t))
+    return pa.schema(fields)
+
+
 def events_sessionize(sf_dir: str, gap_sec: int = 1800):
     """Session windows per user: a new session starts when the gap
     from the previous event exceeds ``gap_sec``. Users co-partition
@@ -448,41 +495,37 @@ def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 64,
             j = j.map_batches(restore_key, batch_format="pandas")
         return j
 
-    left_cols = [c for c in left.schema().names]
-    right_cols = [c for c in right.schema().names]
-    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+    from walk_ray.stages.exchange import bucket_exchange
 
-    def _bucket_of(vals) -> np.ndarray:
-        return np.fromiter(
-            (int.from_bytes(_hl.blake2b(str(v).encode(), digest_size=4).digest(), "big")
-             % n_buckets for v in vals),
-            dtype=np.int64, count=len(vals),
-        )
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lempty = lschema.empty_table().to_pandas()
+    rempty = rschema.empty_table().to_pandas()
+    out_dtypes = lempty.merge(rempty, left_on=left_on, right_on=right_on,
+                              how=how).dtypes
 
-    def tag(side: int, key: str):
-        def _t(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.copy()
-            for c in all_cols:
-                if c not in out.columns:
-                    out[c] = None
-            out["__side"] = side
-            out["__bucket"] = _bucket_of(batch[key])
-            return out[all_cols + ["__side", "__bucket"]]
+    def merge_reduce(_b: int, lt, rt) -> pa.Table:
+        # both sides arrive co-partitioned with native dtypes — no
+        # union, no null-padding upcast, no __side split
+        lg = (lt.drop_columns(["__bucket"]).to_pandas()
+              if lt is not None and lt.num_rows else lempty)
+        rg = (rt.drop_columns(["__bucket"]).to_pandas()
+              if rt is not None and rt.num_rows else rempty)
+        out = lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
+        for c, dt in out_dtypes.items():
+            # canonical per-bucket schema; tolerate outer-join NaN
+            # upcasts that a lossless cast can't undo
+            if out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-        return _t
-
-    tagged = left.map_batches(tag(0, left_on), batch_format="pandas").union(
-        right.map_batches(tag(1, right_on), batch_format="pandas")
-    )
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        # null-padding for the union upcasts to object; after the side
-        # split no nulls remain, so native dtypes are recoverable
-        lg = g[g["__side"] == 0][left_cols].infer_objects()
-        rg = g[g["__side"] == 1][right_cols].infer_objects()
-        return lg.merge(rg, left_on=left_on, right_on=right_on, how=how)
-
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    return bucket_exchange(
+        [(left, "__bucket"), (right, "__bucket")], n_buckets, merge_reduce,
+        map_fns=[_tag_bucket(left_on, n_buckets),
+                 _tag_bucket(right_on, n_buckets)])
 
 
 def asof_join(left, right, left_key: str, right_key: str, left_time: str,
@@ -494,53 +537,34 @@ def asof_join(left, right, left_key: str, right_key: str, left_time: str,
     ``pandas.merge_asof`` (backward direction) over time-sorted
     frames. Group count = n_buckets, independent of key cardinality.
     """
-    import hashlib as _hl
+    from walk_ray.stages.exchange import bucket_exchange
 
     left_cols = [c for c in left.schema().names]
     right_cols = [c for c in right.schema().names]
-    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
-
-    def _bucket_of(vals) -> np.ndarray:
-        return np.fromiter(
-            (int.from_bytes(_hl.blake2b(str(v).encode(), digest_size=4).digest(), "big")
-             % n_buckets for v in vals),
-            dtype=np.int64, count=len(vals),
-        )
-
-    def tag(side: int, key: str):
-        def _t(batch: pd.DataFrame) -> pd.DataFrame:
-            out = batch.copy()
-            for c in all_cols:
-                if c not in out.columns:
-                    out[c] = None
-            out["__side"] = side
-            out["__bucket"] = _bucket_of(batch[key])
-            return out[all_cols + ["__side", "__bucket"]]
-
-        return _t
-
-    tagged = left.map_batches(tag(0, left_key), batch_format="pandas").union(
-        right.map_batches(tag(1, right_key), batch_format="pandas")
-    )
+    lempty = _arrow_schema(left).empty_table().to_pandas()
+    rempty = _arrow_schema(right).empty_table().to_pandas()
 
     rename_right = {c: c + suffix for c in right_cols if c in left_cols}
+    rk = rename_right.get(right_key, right_key)
+    rt = rename_right.get(right_time, right_time)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 0][left_cols].infer_objects()
-        rg = g[g["__side"] == 1][right_cols].infer_objects().rename(columns=rename_right)
-        rk = rename_right.get(right_key, right_key)
-        rt = rename_right.get(right_time, right_time)
-        if lg.empty or rg.empty:
-            cols = list(lg.columns) + [c for c in rg.columns if c not in lg.columns]
-            return pd.DataFrame({c: pd.Series([], dtype="object") for c in cols})
-        # the union's null-padding can upcast one side's key/time to
-        # object — align dtypes pairwise before the ordered merge
+    def merge(lg: pd.DataFrame, rg: pd.DataFrame) -> pd.DataFrame:
+        rg = rg.rename(columns=rename_right)
+        # distinct time dtypes across sides (e.g. timestamp vs date)
+        # — align pairwise before the ordered merge (also on the
+        # empty path, so every bucket emits the same schema)
         for a_col, b_col in ((left_time, rt), (left_key, rk)):
             if lg[a_col].dtype != rg[b_col].dtype:
                 try:
                     rg[b_col] = rg[b_col].astype(lg[a_col].dtype)
                 except (TypeError, ValueError):
                     lg[a_col] = lg[a_col].astype(rg[b_col].dtype)
+        if lg.empty or rg.empty:
+            out = lg.copy()
+            for c in rg.columns:
+                if c not in out.columns:
+                    out[c] = rg[c][:0]
+            return out[:0]
         lg = lg.sort_values(left_time, kind="mergesort")
         rg = rg.sort_values(rt, kind="mergesort")
         out = pd.merge_asof(
@@ -549,7 +573,29 @@ def asof_join(left, right, left_key: str, right_key: str, left_time: str,
         )
         return out[out[rt].notna()]  # inner semantics
 
-    return tagged.groupby("__bucket").map_groups(merge, batch_format="pandas")
+    out_dtypes = merge(lempty.copy(), rempty.copy()).dtypes
+
+    def merge_reduce(_b: int, lt, rt_) -> pa.Table:
+        lg = (lt.drop_columns(["__bucket"]).to_pandas()
+              if lt is not None and lt.num_rows else lempty.copy())
+        rg = (rt_.drop_columns(["__bucket"]).to_pandas()
+              if rt_ is not None and rt_.num_rows else rempty.copy())
+        out = merge(lg, rg)
+        for c, dt in out_dtypes.items():
+            # canonical per-bucket schema: the NaN-upcasts merge_asof
+            # introduces are cast back losslessly after the inner
+            # filter (no nulls survive it)
+            if out[c].dtype != dt:
+                try:
+                    out[c] = out[c].astype(dt)
+                except (TypeError, ValueError):
+                    pass
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return bucket_exchange(
+        [(left, "__bucket"), (right, "__bucket")], n_buckets, merge_reduce,
+        map_fns=[_tag_bucket(left_key, n_buckets),
+                 _tag_bucket(right_key, n_buckets)])
 
 
 def events_last_order(sf_dir: str):

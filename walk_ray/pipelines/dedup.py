@@ -77,27 +77,47 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 
 # ---------------------------------------------------------------- exact
 
-def exact_dedup(sf_dir: str):
-    """(text_hash, doc_id=min) — one row per distinct content."""
-    from ray.data.aggregate import Count, Min
+def exact_dedup(sf_dir: str, n_buckets: int = 64):
+    """(text_hash, doc_id=min, n_copies) — one row per distinct
+    content. Hash + per-block partial (min doc_id, count) fuse into
+    the exchange split task; each crc32(hash) bucket completes the min
+    and the count sum (exchange instead of Dataset.groupby: the same
+    dense-hash-bucket shape as dedup_keep_best, without the sort
+    shuffle of every (block, hash) partial)."""
+    from zlib import crc32
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    from ..stages.exchange import bucket_exchange
+
+    schema = pa.schema([("text_hash", pa.string()), ("doc_id", pa.int64()),
+                        ("n_copies", pa.int64())])
+    part_schema = pa.schema(list(schema) + [pa.field("bucket", pa.int64())])
+
+    def partial_t(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         texts = pc.fill_null(t["text"], "").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": t["doc_id"],
-            "text_hash": pa.array(
-                [hashlib.md5(x.encode("utf-8")).hexdigest() for x in texts],
-                pa.string()),
+        df = pd.DataFrame({
+            "text_hash": [hashlib.md5(x.encode("utf-8")).hexdigest()
+                          for x in texts],
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False).astype("int64"),
         })
+        g = df.groupby("text_hash", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        g["n_copies"] = g["n_copies"].astype("int64")
+        g["bucket"] = [crc32(h.encode()) % n_buckets for h in g["text_hash"]]
+        return pa.Table.from_pandas(g, schema=part_schema,
+                                    preserve_index=False)
 
-    return (
-        _docs(sf_dir)
-        .map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_copies"))
-    )
+    def finish(_b: int, t) -> pa.Table:
+        if t is None or not t.num_rows:
+            return schema.empty_table()
+        g = (t.to_pandas().groupby("text_hash", sort=False, as_index=False)
+             .agg(doc_id=("doc_id", "min"), n_copies=("n_copies", "sum")))
+        g["n_copies"] = g["n_copies"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False).cast(schema)
+
+    return bucket_exchange([(_docs(sf_dir), "bucket")], n_buckets, finish,
+                           schemas=[part_schema], map_fns=[partial_t])
 
 
 def dedup_keep_best(sf_dir: str, n_buckets: int | None = None):

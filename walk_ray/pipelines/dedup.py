@@ -77,7 +77,7 @@ def _docs(sf_dir: str, columns=("doc_id", "text")):
 
 # ---------------------------------------------------------------- exact
 
-def exact_dedup(sf_dir: str, n_buckets: int = 64):
+def exact_dedup(sf_dir: str, n_buckets: int | None = None):
     """(text_hash, doc_id=min, n_copies) — one row per distinct
     content. Hash + per-block partial (min doc_id, count) fuse into
     the exchange split task; each crc32(hash) bucket completes the min
@@ -87,6 +87,10 @@ def exact_dedup(sf_dir: str, n_buckets: int = 64):
     from zlib import crc32
 
     from ..stages.exchange import bucket_exchange
+    from ..stages.sizing import auto_buckets
+
+    if n_buckets is None:
+        n_buckets = auto_buckets(f"{sf_dir}/documents.parquet")
 
     schema = pa.schema([("text_hash", pa.string()), ("doc_id", pa.int64()),
                         ("n_copies", pa.int64())])

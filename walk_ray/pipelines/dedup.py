@@ -1405,8 +1405,13 @@ def ngram_jaccard_pairs(sf_dir: str, n: int = 3, threshold: float = 0.2, exact: 
     # copies) — not once per pair-side. On dup-heavy data (sf0.1: ~5M
     # candidate pairs over 4.5k docs) this cuts the join/shuffle
     # payload and the per-pair set construction by orders of magnitude.
-    NPARTS = 64
-    NB = 64  # doc-hash buckets of the membership ⋈ grams join
+    # Both counts follow the input-derived sizing policy (gram bytes ≈
+    # corpus text bytes; the pair side is bounded per partition by the
+    # same hash spread).
+    from ..stages.sizing import auto_buckets
+
+    NPARTS = auto_buckets(f"{sf_dir}/documents.parquet")
+    NB = NPARTS  # doc-hash buckets of the membership ⋈ grams join
 
     cand = minhash_lsh_pairs(sf_dir, ngram=n, bands=bands,
                              threshold=max(0.0, threshold - 0.2))

@@ -206,3 +206,34 @@ def test_gram_bytes_rows_byte_parity():
             assert got[i] == ref, (n, i)
         db = dict(zip(out["doc_id"].to_pylist(), out["dbucket"].to_pylist()))
         assert all(db[i] == i % 7 for i in ids)
+
+
+def test_gram_bytes_rows_property():
+    """Property check of the Arrow gram kernel against the Python
+    reference over random unicode docs (whitespace runs, empties,
+    repeats) and every n in 1..4."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from walk_ray.pipelines.dedup import _gram_bytes_rows, _word_ngrams
+
+    word = st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Zl", "Zp", "Cc", "Cs")),
+        min_size=1, max_size=6)
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8), st.integers(1, 4))
+    def check(texts, n):
+        ids = list(range(len(texts)))
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        out = _gram_bytes_rows(t, n, 5)
+        got = dict(zip(out["doc_id"].to_pylist(), out["gbytes"].to_pylist()))
+        for i, tx in zip(ids, texts):
+            ref = "\x00".join(
+                sorted(set(_word_ngrams(tx.split(), n)))).encode()
+            assert got[i] == ref, (n, i, tx)
+
+    check()

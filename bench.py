@@ -10,6 +10,8 @@ Usage:
     python bench.py              # one JSON line on stdout
     python bench.py --scaling    # run at 8 and 32 CPUs in fresh
                                  # processes; report both + efficiency
+    python bench.py --scaling-paired  # variance-reduced: K interleaved
+                                 # (8,32) pairs, median per-pair ratio
 
 Env:
     RAY_GRAFT_CPUS  parallelism level (default 32)
@@ -221,7 +223,9 @@ def run_once() -> dict:
     _warm_up()
     t0 = time.monotonic()
     crawl = _bench_crawl()
-    queries = _bench_queries()
+    # crawl-only mode for the paired scaling protocol (the per-op
+    # query suite rides in the classic --scaling samples already)
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") == "1" else _bench_queries()
     total = time.monotonic() - t0
     out = {
         "metric": "URLs fetched+deduped/sec (bench web graph crawl); secondary per-op secs",
@@ -288,6 +292,82 @@ def run_scaling() -> dict:
         "queries": {"bench_8": r_lo["value"], "bench_32": r_hi["value"]},
         "queries_8": r_lo["queries"],
         "queries_32": r_hi["queries"],
+        "sf": SF_DIR,
+        "num_cpus": hi,
+    }
+
+
+def run_scaling_paired() -> dict:
+    """Variance-reduced scaling estimator: K PAIRS of back-to-back
+    (8-core, 32-core) crawl-only legs, each leg a fresh taskset-pinned
+    process; efficiency = median over pairs of (tp32/tp8)/4.
+
+    Why: the classic ``--scaling`` protocol runs ALL 8-core reps, then
+    ALL 32-core reps — ~10 minutes apart — and divides one host window
+    by another. The sandbox VM's documented ±40% host-speed swings
+    (BASELINE.md round-3 A/B) then dominate the ratio: same-code
+    efficiencies span 0.66–0.96 across nine sequential-legs samples.
+    Pairing puts the two levels seconds apart so window drift hits
+    numerator and denominator together and cancels in the ratio;
+    the median over pairs is robust to the residual burst noise.
+    Pair order alternates (8→32, 32→8, ...) to cancel any first-mover
+    effect. Env: BENCH_PAIRS (default 6), BENCH_PAIR_REPEATS (default
+    2, timed crawl reps per leg)."""
+
+    def run_leg(ncpu: int, reps: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPEATS=str(reps), BENCH_SKIP_QUERIES="1")
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        import shutil as _sh
+
+        if _sh.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        proc = subprocess.run(
+            cmd, env=env, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(f"--- {ncpu}-CPU leg failed (exit "
+                             f"{proc.returncode}); last stderr ---\n")
+            sys.stderr.write("\n".join(proc.stderr.splitlines()[-40:]) + "\n")
+            raise SystemExit(proc.returncode)
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    n_pairs = int(os.environ.get("BENCH_PAIRS", "6"))
+    reps = int(os.environ.get("BENCH_PAIR_REPEATS", "2"))
+    pairs = []
+    for k in range(n_pairs):
+        order = (lo, hi) if k % 2 == 0 else (hi, lo)
+        legs = {}
+        for ncpu in order:
+            legs[ncpu] = run_leg(ncpu, reps)
+        tp_lo, tp_hi = legs[lo]["urls_per_sec"], legs[hi]["urls_per_sec"]
+        eff = (tp_hi / tp_lo) / (hi / lo)
+        pairs.append({
+            "order": f"{order[0]}->{order[1]}",
+            "urls_per_sec_8": tp_lo, "urls_per_sec_32": tp_hi,
+            "runs_8": legs[lo]["crawl"]["all_runs_urls_per_sec"],
+            "runs_32": legs[hi]["crawl"]["all_runs_urls_per_sec"],
+            "efficiency": round(eff, 3),
+        })
+        sys.stderr.write(f"pair {k + 1}/{n_pairs}: {tp_lo:.0f} -> "
+                         f"{tp_hi:.0f} urls/s, eff {eff:.3f}\n")
+    effs = sorted(p["efficiency"] for p in pairs)
+    med_eff = effs[(len(effs) - 1) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
+    med8 = sorted(p["urls_per_sec_8"] for p in pairs)[len(pairs) // 2]
+    med32 = sorted(p["urls_per_sec_32"] for p in pairs)[len(pairs) // 2]
+    return {
+        "metric": ("crawl throughput scaling efficiency "
+                   "(8 -> 32 CPUs, median of per-pair ratios, "
+                   f"{n_pairs} interleaved pairs x {reps} reps/leg)"),
+        "value": med_eff,
+        "unit": "efficiency",
+        "urls_per_sec_8": med8,
+        "urls_per_sec_32": med32,
+        "pair_efficiencies": effs,
+        "pairs": pairs,
         "sf": SF_DIR,
         "num_cpus": hi,
     }
@@ -383,7 +463,9 @@ def run_stats(name: str) -> None:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-paired" in sys.argv:
+        print(json.dumps(run_scaling_paired()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--volume" in sys.argv:
         print(json.dumps(run_volume()))

@@ -10,15 +10,30 @@ from walk_ray.pipelines.text import winnow_doc
 
 
 def _reference_winnow(text, k=5, window=4):
+    # gram hash = polynomial fold (odd 64-bit multiplier) over
+    # per-token blake2b hashes — the rolling-hash construction the
+    # winnowing paper assumes; re-derived here independently of the
+    # production kernel
+    P, M = 0x9E3779B97F4A7C15, (1 << 64) - 1
+
+    def tok_h(w):
+        return int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+
+    def gram_h(ws):
+        h = 0
+        for w in ws:
+            h = (h * P + tok_h(w)) & M
+        return h >> 1
+
     words = text.split()
     if len(words) < k:
-        grams = [" ".join(words)] if words else []
+        grams = [words] if words else []
     else:
-        grams = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
+        grams = [words[i:i + k] for i in range(len(words) - k + 1)]
     if not grams:
         return []
-    hs = [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 1
-          for g in grams]
+    hs = [gram_h(g) for g in grams]
     if len(hs) <= window:
         return [min(hs)]
     out, last_pos = [], -1
@@ -71,3 +86,35 @@ def test_winnow_fingerprints_dataset():
     assert set(df.columns) == {"doc_id", "n_fingerprints", "fp_min", "fp_xor"}
     assert (df["n_fingerprints"] > 0).all()
     assert df["doc_id"].is_unique
+
+
+def test_winnow_batch_matches_winnow_doc():
+    """The batch-vectorized Arrow kernel equals the per-doc reference
+    on every doc shape: empty, whitespace-only, < k words, == k words,
+    m <= window grams, long docs, repeated tokens, doubled spaces."""
+    import pyarrow as pa
+
+    from walk_ray.pipelines.text import _winnow_batch
+
+    texts = SAMPLES + [
+        "   ",                                # whitespace-only -> 0 words
+        "a b c d e",                          # exactly k words, 1 gram
+        "a b c d e f g h",                    # m=4 == window -> min path
+        "a b c d e f g h i",                  # m=5 > window -> window path
+        "x  y   z",                           # interior doubled spaces
+        " lead trail ",                       # boundary whitespace
+        " ".join(["same"] * 30),              # constant token stream
+        " ".join(f"v{i % 3}" for i in range(25)),
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = _winnow_batch(t, 5, 4).to_pandas()
+    for i, txt in enumerate(texts):
+        fps = winnow_doc(txt, 5, 4)
+        row = out.iloc[i]
+        assert row["n_fingerprints"] == len(fps), (i, txt)
+        assert row["fp_min"] == (min(fps) if fps else 0), (i, txt)
+        x = 0
+        for v in fps:
+            x ^= v
+        assert row["fp_xor"] == x, (i, txt)

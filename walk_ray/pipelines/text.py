@@ -196,29 +196,51 @@ def text_fingerprint(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
 
 
-def winnow_doc(text: str, k: int = 5, window: int = 4) -> list[int]:
-    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03) over word k-gram hashes: from every window of
-    ``window`` consecutive k-gram hashes keep the minimum (rightmost
-    minimum on ties — the standard robust-winnowing rule), dedup
-    consecutive selections. Deterministic; numpy-vectorized.
-    """
+# Polynomial (Rabin-Karp-style) k-gram hash over per-token blake2b
+# hashes — the rolling-hash construction the winnowing paper assumes
+# (Schleimer/Wilkerson/Aiken §2: k-grams are hashed incrementally, not
+# re-digested per gram). Tokens get a crypto-quality 64-bit hash ONCE
+# per distinct token; a gram's hash is the odd-constant polynomial fold
+# of its token hashes (mod 2^64), >> 1 to stay in int63 range. This
+# makes the batch kernel fully vectorizable: blake2b runs once per
+# batch-unique TOKEN (vocab ≪ tokens), the fold is k numpy ops.
+_WINNOW_P = 0x9E3779B97F4A7C15  # odd 64-bit multiplier (golden ratio)
+
+
+def _token_hash(word: str) -> int:
     import hashlib
 
+    return int.from_bytes(
+        hashlib.blake2b(word.encode(), digest_size=8).digest(), "big")
+
+
+def _gram_hash(token_hashes) -> int:
+    h = 0
+    for t in token_hashes:
+        h = (h * _WINNOW_P + t) & 0xFFFFFFFFFFFFFFFF
+    return h >> 1
+
+
+def winnow_doc(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03) over word k-gram rolling hashes: from every window of
+    ``window`` consecutive k-gram hashes keep the minimum (rightmost
+    minimum on ties — the standard robust-winnowing rule), dedup
+    consecutive selections. Deterministic; numpy-vectorized. The
+    per-doc reference for the batch kernel :func:`_winnow_batch`.
+    """
     import numpy as np
 
     words = text.split()
+    th = [_token_hash(w) for w in words]
     if len(words) < k:
-        grams = [" ".join(words)] if words else []
+        grams = [th] if words else []
     else:
-        grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+        grams = [th[i : i + k] for i in range(len(words) - k + 1)]
     if not grams:
         return []
-    h = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 1
-         for g in grams),
-        dtype=np.uint64, count=len(grams),
-    )
+    h = np.fromiter((_gram_hash(g) for g in grams),
+                    dtype=np.uint64, count=len(grams))
     if len(h) <= window:
         return [int(h.min())]
     # sliding windows (n-window+1, window); rightmost-min = argmin on
@@ -235,37 +257,139 @@ def winnow_doc(text: str, k: int = 5, window: int = 4) -> list[int]:
     return [int(v) for v in picks[keep]]
 
 
+def _winnow_batch(t, k: int, window: int):
+    """Batch-wide winnowing kernel, exactly :func:`winnow_doc` per row
+    (pinned by ``test_winnow_batch_matches_winnow_doc``) with no
+    per-doc or per-gram Python loop: Arrow whitespace tokenize
+    (boundary-empty tokens dropped — ``split()`` parity),
+    ``dictionary_encode`` the token stream so blake2b runs once per
+    batch-UNIQUE token (Heaps' law: vocab ≪ tokens), gram hashes are
+    the k-step numpy polynomial fold over shifted slices (no gram
+    string is ever built), and the window selection is one global
+    sliding-window rightmost-min scan masked at doc boundaries plus
+    ``reduceat`` per-doc reductions."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("n_fingerprints", pa.int64()),
+        ("fp_min", pa.uint64()), ("fp_xor", pa.uint64())])
+    D = t.num_rows
+    if not D:
+        return schema.empty_table()
+    toks = pc.utf8_split_whitespace(
+        pc.fill_null(t["text"].combine_chunks(), ""))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab_py = enc.dictionary.to_pylist()
+    if "" in vocab_py:
+        keep_i = codes != vocab_py.index("")
+        codes, parent = codes[keep_i], parent[keep_i]
+    # blake2b once per batch-unique token; th = 64-bit hash per token
+    uh = np.fromiter((_token_hash(w) for w in vocab_py),
+                     dtype=np.uint64, count=len(vocab_py))
+    th = uh[codes] if len(codes) else np.empty(0, np.uint64)
+    nw = np.bincount(parent, minlength=D).astype(np.int64)
+    off = np.zeros(D + 1, dtype=np.int64)
+    np.cumsum(nw, out=off[1:])
+
+    P = np.uint64(_WINNOW_P)
+    # long docs (nw >= k): m = nw-k+1 overlapping k-grams each, hashed
+    # doc-major so each doc's grams are contiguous
+    ldocs = np.flatnonzero(nw >= k)
+    m = nw[ldocs] - k + 1
+    tot_l = int(m.sum())
+    if tot_l:
+        mstart = np.zeros(len(ldocs), dtype=np.int64)
+        np.cumsum(m[:-1], out=mstart[1:])
+        rep = np.repeat(np.arange(len(ldocs)), m)
+        intra = np.arange(tot_l, dtype=np.int64) - mstart[rep]
+        gs = off[ldocs][rep] + intra
+        gdoc = ldocs[rep]
+        # fold over shifted CONTIGUOUS slices of the flat token-hash
+        # stream (cross-doc positions compute garbage that gs never
+        # selects), then ONE gather — k gathers would dominate
+        nt = len(th)
+        hf = th[: nt - k + 1].copy()
+        for i in range(1, k):
+            hf = hf * P + th[i: nt - k + 1 + i]
+        h_long = hf[gs] >> np.uint64(1)
+    else:
+        gdoc = np.empty(0, dtype=np.int64)
+        h_long = np.empty(0, np.uint64)
+    # short docs (0 < nw < k): ONE gram = fold of all the doc's token
+    # hashes — ≤ k-1 masked vectorized steps, no per-doc loop
+    sdocs = np.flatnonzero((nw > 0) & (nw < k))
+    if len(sdocs):
+        h_short = th[off[sdocs]].copy()
+        for step in range(1, k - 1):
+            mask = nw[sdocs] > step
+            h_short[mask] = (h_short[mask] * P
+                             + th[off[sdocs][mask] + step])
+        h_short >>= np.uint64(1)
+    else:
+        h_short = np.empty(0, np.uint64)
+
+    n_fp = np.zeros(D, dtype=np.int64)
+    fp_min = np.zeros(D, dtype=np.uint64)
+    fp_xor = np.zeros(D, dtype=np.uint64)
+
+    # window-selection path: every window fully inside one doc (the
+    # boundary mask also excludes docs with m <= window entirely)
+    if tot_l >= window:
+        win = np.lib.stride_tricks.sliding_window_view(h_long, window)
+        valid = np.flatnonzero(gdoc[: tot_l - window + 1]
+                               == gdoc[window - 1:])
+        if len(valid):
+            # argmin over the reversed strided VIEW of every window
+            # (rightmost minimum), masked after — a fancy-indexed
+            # win[valid] would copy ~window× the hash stream
+            right = window - 1 - np.argmin(win[:, ::-1], axis=1)[valid]
+            pos = valid + right
+            pdoc = gdoc[valid]
+            newdoc = np.r_[True, pdoc[1:] != pdoc[:-1]]
+            keep = newdoc | np.r_[True, pos[1:] != pos[:-1]]
+            picks, kdoc = h_long[pos[keep]], pdoc[keep]
+            starts = np.flatnonzero(np.r_[True, kdoc[1:] != kdoc[:-1]])
+            docs_w = kdoc[starts]
+            n_fp[docs_w] = np.diff(np.r_[starts, len(picks)])
+            fp_min[docs_w] = np.minimum.reduceat(picks, starts)
+            fp_xor[docs_w] = np.bitwise_xor.reduceat(picks, starts)
+
+    # min-only path: short docs and long docs with m <= window grams
+    # (winnow_doc: len(h) <= window -> [min(h)])
+    if tot_l:
+        lmin = np.minimum.reduceat(h_long, np.r_[0, np.cumsum(m)[:-1]])
+        small = m <= window
+        docs_s = ldocs[small]
+        n_fp[docs_s] = 1
+        fp_min[docs_s] = lmin[small]
+        fp_xor[docs_s] = lmin[small]
+    if len(sdocs):
+        n_fp[sdocs] = 1
+        fp_min[sdocs] = h_short
+        fp_xor[sdocs] = h_short
+
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_fingerprints": pa.array(n_fp, pa.int64()),
+        "fp_min": pa.array(fp_min, pa.uint64()),
+        "fp_xor": pa.array(fp_xor, pa.uint64())}).cast(schema)
+
+
 def winnow_fingerprints(sf_dir: str, k: int = 5, window: int = 4):
     """Per-doc winnowing summary: (doc_id, n_fingerprints, fp_min,
     fp_xor) — the rolling-hash document-fingerprinting stage of a
     training-data pipeline. Rows-only driver check (the selection rule
     is not SQL-expressible); pinned by a pure-python reference in
-    pytest."""
+    pytest. The kernel is batch-vectorized (:func:`_winnow_batch`);
+    :func:`winnow_doc` remains the per-doc reference semantics."""
 
-    class Winnow:
-        def __init__(self):
-            self.k = k
-            self.window = window
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            import numpy as np
-
-            n_fp, fp_min, fp_xor = [], [], []
-            for t in batch["text"].fillna(""):
-                fps = winnow_doc(t, self.k, self.window)
-                n_fp.append(len(fps))
-                fp_min.append(min(fps) if fps else 0)
-                x = 0
-                for v in fps:
-                    x ^= v
-                fp_xor.append(x)
-            out = pd.DataFrame({"doc_id": batch["doc_id"]})
-            out["n_fingerprints"] = pd.Series(n_fp, dtype="int64").values
-            out["fp_min"] = pd.Series(fp_min, dtype="uint64").values
-            out["fp_xor"] = pd.Series(fp_xor, dtype="uint64").values
-            return out
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(Winnow(), batch_format="pandas")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: _winnow_batch(t, k, window), batch_format="pyarrow")
 
 
 # --- tf-idf -----------------------------------------------------------

@@ -50,16 +50,21 @@ def prepare_corpus(sf_dir: str, min_quality: float = PREP_MIN_QUALITY,
     deduped = chunk_dedup(sf_dir, chunk_words=chunk_words,
                           n_buckets=n_buckets, docs=docs)
 
-    def assign_split(batch: pd.DataFrame) -> pd.DataFrame:
-        splits = []
-        for v in batch["doc_id"]:
-            h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
-            for name, hi in _SPLIT_BOUNDS:
-                if h < hi:
-                    splits.append(name)
-                    break
-        out = batch.copy()
-        out["split"] = splits
-        return out
+    import numpy as np
+    import pyarrow as pa
 
-    return deduped.map_batches(assign_split, batch_format="pandas")
+    his = np.array([hi for _, hi in _SPLIT_BOUNDS], dtype=np.int64)
+    names = np.array([name for name, _ in _SPLIT_BOUNDS], dtype=object)
+
+    def assign_split(t: pa.Table) -> pa.Table:
+        # hash_split's vectorized boundary rule (md5 per row is the
+        # semantic contract shared with the oracle; the bounds lookup
+        # is one searchsorted, no per-row inner loop or table copy)
+        vals = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 1_000_000
+             for v in vals), dtype=np.int64, count=len(vals))
+        idx = np.minimum(np.searchsorted(his, h, side="right"), len(his) - 1)
+        return t.append_column("split", pa.array(names[idx], pa.string()))
+
+    return deduped.map_batches(assign_split, batch_format="pyarrow")

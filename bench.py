@@ -415,6 +415,7 @@ def run_volume() -> dict:
     t0 = time.monotonic()
     run("prepare_corpus", lambda: prepare.prepare_corpus(vol_dir))
     run("lm_perplexity", lambda: text.lm_perplexity(vol_dir))
+    run("winnow_fingerprints", lambda: text.winnow_fingerprints(vol_dir))
     run("minhash_lsh_dedup",
         lambda: dedup.minhash_lsh_dedup(vol_dir, ngram=3, threshold=0.5))
     total = round(time.monotonic() - t0, 2)

@@ -36,15 +36,18 @@ def prepare_corpus(sf_dir: str, min_quality: float = PREP_MIN_QUALITY,
     import ray.data as rd
 
     from .dedup import chunk_dedup
-    from .text import quality_of
+    from .text import _quality_arrays
 
-    def keep_quality(batch: pd.DataFrame) -> pd.DataFrame:
-        q = quality_of(batch["text"].fillna(""))
-        return batch.loc[(q >= min_quality).to_numpy(), ["doc_id", "text"]]
+    def keep_quality(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        qa = _quality_arrays(pc.fill_null(t["text"].combine_chunks(), ""))
+        return t.filter(pa.array(qa["quality"] >= min_quality))
 
     docs = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(keep_quality, batch_format="pandas")
+        .map_batches(keep_quality, batch_format="pyarrow")
     )
 
     deduped = chunk_dedup(sf_dir, chunk_words=chunk_words,

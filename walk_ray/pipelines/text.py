@@ -78,20 +78,26 @@ def token_stats(sf_dir: str):
     """Per-doc token counts: whitespace tokens and a BPE-ish regex
     tokenization (word pieces + single punctuation marks)."""
 
-    def stats(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        # vectorized: a whitespace token is a maximal \S+ run, so the
-        # count equals len(strip().split()); both counts are C-speed
-        # regex scans, no per-row Python loop
-        return pd.DataFrame(
-            {
-                "doc_id": batch["doc_id"],
-                "n_ws_tokens": texts.str.count(r"\S+").astype("int64"),
-                "n_bpe_tokens": texts.str.count(_BPE_ISH).astype("int64"),
-            }
-        )
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pandas")
+    def stats(t: pa.Table) -> pa.Table:
+        # Arrow C++ regex scans (RE2): the whitespace-token count is a
+        # maximal \S+ run count; the BPE-ish pattern is RE2-compatible
+        # (leftmost-first alternation, same matches as Python re —
+        # parity pinned against the pandas path in pytest)
+        filled = pc.fill_null(t["text"].combine_chunks(), "")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": pc.count_substring_regex(
+                filled, r"\S+").cast(pa.int64()),
+            "n_bpe_tokens": pc.count_substring_regex(
+                filled, _BPE_ISH.pattern).cast(pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow")
 
 
 # a stopword is a whole whitespace token equal to one of STOPWORDS:
@@ -102,78 +108,108 @@ _STOP_RE = re.compile(
 )
 
 
+def _quality_arrays(filled) -> dict:
+    """Arrow-native quality statistics over a (null-filled) string
+    array — ONE whitespace split feeds every count: ``n_words`` =
+    non-empty tokens (``count(r"\\S+")`` parity), ``total_wlen`` =
+    summed token codepoint lengths (``count(r"\\S")`` parity — split
+    removes exactly whitespace), ``n_stop`` = whole-token membership
+    in STOPWORDS via ``pc.is_in`` (identical to the anchored regex:
+    a stopword counts iff it is a maximal \\S+ run). The pandas
+    ``.str.count`` path this replaces re-ran a Python-level regex per
+    row; here every step is an Arrow C++ kernel or a bincount."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    D = len(filled)
+    n_chars = pc.utf8_length(filled).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    toks = pc.utf8_split_whitespace(filled)
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    nonempty = wlen > 0  # Arrow keeps boundary-empty tokens; split() drops
+    n_words = np.bincount(parent[nonempty], minlength=D).astype(np.int64)
+    total_wlen = np.bincount(parent, weights=wlen,
+                             minlength=D).astype(np.int64)
+    is_stop = pc.is_in(
+        flat, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parent[is_stop], minlength=D).astype(np.int64)
+    nw1 = np.maximum(n_words, 1)
+    stop_ratio = np.round(n_stop / nw1, 6)
+    quality = np.round(np.minimum(n_words / 100.0, 1.0)
+                       * (1 - stop_ratio), 6)
+    return {"n_chars": n_chars, "n_words": n_words, "n_stopwords": n_stop,
+            "mean_word_len": np.round(total_wlen / nw1, 6),
+            "stop_ratio": stop_ratio, "quality": quality}
+
+
 def quality_of(texts: pd.Series) -> pd.Series:
     """The clamped linear quality score used across the pipeline
     (also by dedup's keep-best policy): ``least(1, n_words/100) *
-    (1 - stop_ratio)``, rounded to 6 dp. Vectorized regex scans."""
-    n_words = texts.str.count(r"\S+").astype("int64")
-    n_stop = texts.str.count(_STOP_RE).astype("int64")
-    stop_ratio = (n_stop / n_words.clip(lower=1)).round(6)
-    return ((n_words / 100).clip(upper=1.0) * (1 - stop_ratio)).round(6)
+    (1 - stop_ratio)``, rounded to 6 dp. Computed by the Arrow
+    kernel :func:`_quality_arrays` (the former pandas ``.str.count``
+    path ran a Python regex per row)."""
+    import pyarrow as pa
+
+    q = _quality_arrays(pa.array(texts, pa.string()))["quality"]
+    return pd.Series(q, index=texts.index)
 
 
 def quality_scores(sf_dir: str):
     """Quality heuristics: length, word count, mean word length,
     stopword ratio, and a clamped linear score
-    ``least(1, n_words/100) * (1 - stop_ratio)`` rounded to 6 dp."""
+    ``least(1, n_words/100) * (1 - stop_ratio)`` rounded to 6 dp.
+    One Arrow split feeds every count (:func:`_quality_arrays`)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    class Scorer:
-        def __init__(self):
-            self.stop_re = _STOP_RE
+    def score(t: pa.Table) -> pa.Table:
+        qa = _quality_arrays(pc.fill_null(t["text"].combine_chunks(), ""))
+        cols = {"doc_id": t["doc_id"]}
+        for name in ("n_chars", "n_words", "n_stopwords",
+                     "mean_word_len", "stop_ratio", "quality"):
+            cols[name] = pa.array(qa[name])
+        return pa.table(cols)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            texts = batch["text"].fillna("")
-            # all counts are vectorized regex scans: n_words = maximal
-            # \S+ runs (== len(split())), total word length = count of
-            # non-whitespace chars (split() drops exactly whitespace)
-            n_words = texts.str.count(r"\S+").astype("int64")
-            n_stop = texts.str.count(self.stop_re).astype("int64")
-            total_wlen = texts.str.count(r"\S").astype("int64")
-            stop_ratio = (n_stop / n_words.clip(lower=1)).round(6)
-            score = ((n_words / 100).clip(upper=1.0) * (1 - stop_ratio)).round(6)
-            return pd.DataFrame(
-                {
-                    "doc_id": batch["doc_id"],
-                    "n_chars": texts.str.len().astype("int64"),
-                    "n_words": n_words,
-                    "n_stopwords": n_stop,
-                    "mean_word_len": (total_wlen / n_words.clip(lower=1)).round(6),
-                    "stop_ratio": stop_ratio,
-                    "quality": score,
-                }
-            )
-
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(Scorer(), batch_format="pandas")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow")
 
 
 def lang_id(sf_dir: str):
     """Marker-word language ID: count marker hits per language, predict
     the argmax (priority order breaks ties), default ``en``."""
 
-    class LangId:
-        def __init__(self):
-            # one compiled whole-token regex per language (same
-            # anchoring as quality_scores' stopword counter)
-            self.markers = [
-                (lang,
-                 re.compile(r"(?:^|\s)(?:" + "|".join(re.escape(m) for m in ms)
-                            + r")(?=\s|$)"))
-                for lang, ms in LANG_MARKERS
-            ]
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            texts = batch["text"].fillna("")
-            # counts per language are vectorized regex scans; the
-            # prediction is the first language (priority order) with
-            # the max count — idxmax over priority-ordered columns
-            counts = pd.DataFrame(
-                {lang: texts.str.count(rx) for lang, rx in self.markers}
-            )
-            return pd.DataFrame(
-                {"doc_id": batch["doc_id"], "pred_lang": counts.idxmax(axis=1).values}
-            )
+    langs = np.array([lang for lang, _ in LANG_MARKERS], dtype=object)
+    marker_sets = [pa.array(list(ms)) for _, ms in LANG_MARKERS]
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(LangId(), batch_format="pandas")
+    def predict(t: pa.Table) -> pa.Table:
+        # whole-token marker counting = split + per-language is_in
+        # membership (identical to the anchored regex: a marker counts
+        # iff it is a maximal \S+ run); prediction is argmax with
+        # priority-order ties (np.argmax keeps the first maximum)
+        D = t.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t["text"].combine_chunks(), ""))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        counts = np.empty((D, len(marker_sets)), dtype=np.int64)
+        for j, ms in enumerate(marker_sets):
+            hit = pc.is_in(flat, value_set=ms).to_numpy(zero_copy_only=False)
+            counts[:, j] = np.bincount(parent[hit], minlength=D)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "pred_lang": pa.array(langs[np.argmax(counts, axis=1)],
+                                  pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        predict, batch_format="pyarrow")
 
 
 def text_fingerprint(sf_dir: str):

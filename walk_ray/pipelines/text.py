@@ -873,19 +873,28 @@ def regex_redact(sf_dir: str, rules=REDACT_RULES):
     of a scrubbing stage in a training-data pipeline — patterns are
     config; compiled once at pipeline build, vectorized
     ``Series.str.count`` / ``str.replace`` per batch."""
-    compiled = [(name, re.compile(pat), repl) for name, pat, repl in rules]
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def scrub(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        out = {"doc_id": batch["doc_id"]}
+    rules = tuple(rules)
+
+    def scrub(t: pa.Table) -> pa.Table:
+        # the rule patterns are RE2-compatible by contract (shared
+        # verbatim with the DuckDB oracle), so counts and replaces are
+        # Arrow C++ RE2 kernels — the former pandas .str path ran a
+        # Python re.sub per row per rule
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        out = {"doc_id": t["doc_id"]}
         clean = texts
-        for name, rx, repl in compiled:
-            out[f"n_{name}"] = texts.str.count(rx).astype("int64")
-            clean = clean.str.replace(rx, repl, regex=True)
+        for name, pat, repl in rules:
+            out[f"n_{name}"] = pc.count_substring_regex(
+                texts, pat).cast(pa.int64())
+            clean = pc.replace_substring_regex(clean, pat, repl)
         out["clean_text"] = clean
-        return pd.DataFrame(out)
+        return pa.table(out)
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(scrub, batch_format="pandas")
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        scrub, batch_format="pyarrow")
 
 
 # ------------------------------------------- benchmark decontamination
@@ -931,16 +940,26 @@ def decontaminate(sf_dir: str, every: int = DECON_EVERY,
     snips = sorted({r["snip"] for r in
                     snip_ds.map_batches(to_snips, batch_format="pandas").take_all()
                     if r["snip"].strip()})
-    rx = re.compile("|".join(re.escape(s) for s in snips)) if snips else None
+    pattern = "|".join(re.escape(s) for s in snips) if snips else None
+    if pattern is not None:
+        re.compile(pattern)  # fail fast driver-side on a bad pattern
 
-    def flag(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        hit = texts.str.contains(rx) if rx is not None else pd.Series(
-            False, index=texts.index)
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "contaminated": hit.astype("int64")})
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(flag, batch_format="pandas")
+    def flag(t: pa.Table) -> pa.Table:
+        # one RE2 alternation scan per batch in C++ (the pandas
+        # str.contains path ran a Python re.search per row); snippets
+        # are re.escape()d literals, identical under re and RE2
+        texts = pc.fill_null(t["text"].combine_chunks(), "")
+        hit = (pc.match_substring_regex(texts, pattern)
+               if pattern is not None
+               else pa.array([False] * t.num_rows, pa.bool_()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "contaminated": hit.cast(pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow")
 
 
 # ------------------------------------------- Gopher-style repetition

@@ -47,12 +47,41 @@ def _load_query_vectors(sf_dir: str, query_ids: list[int]) -> np.ndarray:
     return mat / norms
 
 
+_PARTIAL_SCHEMA = None
+
+
+def _partial_schema():
+    import pyarrow as pa
+
+    global _PARTIAL_SCHEMA
+    if _PARTIAL_SCHEMA is None:
+        _PARTIAL_SCHEMA = pa.schema([
+            ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+            ("cosine", pa.float64())])
+    return _PARTIAL_SCHEMA
+
+
+def _emb_block(t):
+    """(vec_ids, unit-normalized matrix) from an Arrow batch: the
+    list column flattens to ONE contiguous float buffer and reshapes
+    — ``tolist()`` built B × D Python floats per batch."""
+    emb = t["embedding"].combine_chunks()
+    vals = emb.flatten().to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False)
+    vecs = vals.reshape(t.num_rows, -1)
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return vids, vecs / norms
+
+
 def ann_brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10):
     """Exact cosine top-k for each query vector.
 
     Returns (query_id, neighbor_id, cosine, rank) with rank 1..k,
     ties broken by neighbor_id; the query itself is excluded.
     """
+    import pyarrow as pa
     import ray
     import ray.data as rd
 
@@ -64,18 +93,17 @@ def ann_brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10)
         def __init__(self):
             self._loaded = False
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, t: pa.Table) -> pa.Table:
             if not self._loaded:
                 self.q_ids, self.q = ray.get(q_ref)
                 self._loaded = True
-            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            vecs = vecs / norms
+            if t.num_rows == 0:
+                return _partial_schema().empty_table()
+            vids, vecs = _emb_block(t)
             sims = self.q @ vecs.T  # (Q, B)
-            vids = batch["vec_id"].to_numpy()
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
             kk = min(k + 1, sims.shape[1])
+            # the loop is over QUERIES (bounded), not rows
             for qi, row in enumerate(sims):
                 top = np.argpartition(-row, kk - 1)[:kk]
                 for j in top:
@@ -85,11 +113,11 @@ def ann_brute_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10)
                     out["query_id"].append(int(self.q_ids[qi]))
                     out["neighbor_id"].append(nid)
                     out["cosine"].append(float(row[j]))
-            return pd.DataFrame(out)
+            return pa.table(out, schema=_partial_schema())
 
     partials = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .map_batches(PartialTopK(), batch_format="pandas", batch_size=2048)
+        .map_batches(PartialTopK(), batch_format="pyarrow", batch_size=2048)
         .to_pandas()
     )
     # final merge: tiny (Q × k × n_batches rows)
@@ -163,21 +191,23 @@ def build_ivf_index(sf_dir: str, index_dir: str, nlist: int = 16, sample: int = 
         def __init__(self):
             self._c = None
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, t):
+            import pyarrow as pa
+
             if self._c is None:
                 self._c = ray.get(cent_ref)
-            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            batch = batch.copy()
-            cells = np.argmax((vecs / norms) @ self._c.T, axis=1)
-            batch["cell"] = cells       # hive partition key (moves to dir name)
-            batch["cell_id"] = cells    # data copy (partition col is stripped)
-            return batch
+            if t.num_rows == 0:
+                return t
+            _, vecs = _emb_block(t)
+            cells = np.argmax(vecs @ self._c.T, axis=1).astype(np.int64)
+            # cell = hive partition key (moves to dir name); cell_id =
+            # data copy (the partition col is stripped on write)
+            return t.append_column("cell", pa.array(cells)) \
+                    .append_column("cell_id", pa.array(cells))
 
     (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        .map_batches(Assign(), batch_format="pandas")
+        .map_batches(Assign(), batch_format="pyarrow")
         # align blocks with partition values before the partitioned
         # write — otherwise every (block × cell) pair becomes its own
         # tiny file and probe reads drown in per-file open overhead
@@ -216,23 +246,24 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
         def __init__(self):
             self._loaded = False
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        def __call__(self, t):
+            import pyarrow as pa
+
             if not self._loaded:
                 self.q_ids, self.q, self.centroids, self.probes = ray.get(ref)
-                self.probe_sets = [set(p.tolist()) for p in self.probes]
                 self._loaded = True
-            vecs = np.asarray(batch["embedding"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            vecs = vecs / norms
+            if t.num_rows == 0:
+                return _partial_schema().empty_table()
+            vids, vecs = _emb_block(t)
             # inverted-list id comes off the stored cell_id column —
             # no re-assignment compute
-            assign = batch["cell_id"].to_numpy(dtype=np.int64)
-            vids = batch["vec_id"].to_numpy()
+            assign = t["cell_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
             out = {"query_id": [], "neighbor_id": [], "cosine": []}
             sims = self.q @ vecs.T
+            # loop over QUERIES (bounded); membership is one np.isin
             for qi in range(len(self.q_ids)):
-                mask = np.fromiter((a in self.probe_sets[qi] for a in assign), bool, len(assign))
+                mask = np.isin(assign, self.probes[qi])
                 mask &= vids != int(self.q_ids[qi])
                 cand = np.nonzero(mask)[0]
                 if not len(cand):
@@ -244,7 +275,7 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
                     out["query_id"].append(int(self.q_ids[qi]))
                     out["neighbor_id"].append(int(vids[j]))
                     out["cosine"].append(float(sims[qi, j]))
-            return pd.DataFrame(out)
+            return pa.table(out, schema=_partial_schema())
 
     # READ only the probed cells' partitions (union over queries) —
     # unprobed cells' files are never opened
@@ -258,7 +289,7 @@ def ann_ivf_topk(sf_dir: str, query_ids: list[int] | None = None, k: int = 10,
     ]
     partials = (
         rd.read_parquet(cell_files, columns=["vec_id", "embedding", "cell_id"])
-        .map_batches(ProbeTopK(), batch_format="pandas", batch_size=2048)
+        .map_batches(ProbeTopK(), batch_format="pyarrow", batch_size=2048)
         .to_pandas()
     )
     partials = partials.sort_values(

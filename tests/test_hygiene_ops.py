@@ -138,16 +138,19 @@ def test_classifier_cache_capped(monkeypatch):
     scores unchanged)."""
     from walk_ray.pipelines import text as text_mod
 
+    import pyarrow as pa
+
     monkeypatch.setattr(text_mod, "CLF_CACHE_MAX", 100)
     scorer = text_mod.BoWScorer()
-    big = pd.DataFrame({
-        "doc_id": [1],
-        "text": [" ".join(f"tok{i}" for i in range(500))],
+    big = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([" ".join(f"tok{i}" for i in range(500))]),
     })
     out1 = scorer(big)
     assert len(scorer.idx_cache) <= 100  # cleared after overflow
     out2 = scorer(big)  # recompute path gives identical scores
-    pd.testing.assert_frame_equal(out1, out2)
-    small = pd.DataFrame({"doc_id": [2], "text": ["a b c"]})
+    assert out1.equals(out2)
+    small = pa.table({"doc_id": pa.array([2], pa.int64()),
+                      "text": pa.array(["a b c"])})
     scorer(small)
     assert len(scorer.idx_cache) <= 100

@@ -1060,27 +1060,37 @@ class BoWScorer:
             self.idx_cache[tok] = h
         return h
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch["text"].fillna("")
-        toks = texts.str.split().reset_index(drop=True)
-        n_tok = toks.str.len().to_numpy(dtype=np.int64)
-        ex = toks.explode().dropna()
-        di = ex.index.to_numpy(dtype=np.int64)
-        # hash only UNIQUE tokens (md5 is per-vocab-entry, not
-        # per-token): factorize → per-unique index → gather
-        codes, uniques = pd.factorize(ex.to_numpy())
-        uidx = np.fromiter((self._idx(t) for t in uniques),
-                           dtype=np.int64, count=len(uniques))
+    def __call__(self, t):
+        # Arrow tokenize + dictionary_encode (split() parity after
+        # dropping boundary-empty tokens); md5 runs once per
+        # batch-UNIQUE token through the capped per-actor memo
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        D = t.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t["text"].combine_chunks(), ""))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab_py = enc.dictionary.to_pylist()
+        if "" in vocab_py:
+            keep = codes != vocab_py.index("")
+            codes, parent = codes[keep], parent[keep]
+        n_tok = np.bincount(parent, minlength=D).astype(np.int64)
+        uidx = np.fromiter((self._idx(w) for w in vocab_py),
+                           dtype=np.int64, count=len(vocab_py))
         if len(self.idx_cache) > CLF_CACHE_MAX:
             self.idx_cache.clear()
         tw = self.w[uidx[codes]] if len(codes) else np.empty(0)
-        sums = np.zeros(len(toks), dtype=np.float64)
-        np.add.at(sums, di, tw)
+        sums = np.bincount(parent, weights=tw, minlength=D)
         logit = sums / np.maximum(n_tok, 1)
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "n_tokens": n_tok,
-            "score": np.round(1.0 / (1.0 + np.exp(-logit)), 6),
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "score": pa.array(np.round(1.0 / (1.0 + np.exp(-logit)), 6),
+                              pa.float64()),
         })
 
 
@@ -1102,7 +1112,7 @@ def classifier_scores(sf_dir: str):
     # otherwise become tiny batches (per-call overhead dominates); the
     # 512 KB weight vector lives once per actor, NOT once per batch
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        BoWScorer, batch_format="pandas", concurrency=(1, 8), batch_size=2048)
+        BoWScorer, batch_format="pyarrow", concurrency=(1, 8), batch_size=2048)
 
 
 # ------------------------------------------- n-gram LM perplexity

@@ -219,6 +219,31 @@ def _hash_shingles(shingles: list[str]) -> np.ndarray:
     )
 
 
+def _doc_shingle_hashes(words: list[str], n: int) -> np.ndarray:
+    """Per-doc reference for the minhash shingle hash: polynomial fold
+    (odd 64-bit multiplier) of per-token blake2b hashes per n-gram,
+    >> 3 — the rolling construction shared with winnowing
+    (``text._token_hash`` / ``text._WINNOW_P``), which lets the batch
+    kernel hash blake2b once per batch-unique TOKEN and fold in numpy
+    instead of building every shingle string. Deduplicated (set
+    semantics; minhash is order-independent)."""
+    from .text import _token_hash, _WINNOW_P
+
+    M = (1 << 64) - 1
+    th = [_token_hash(w) for w in words]
+    if len(words) < n:
+        grams = [th] if words else []
+    else:
+        grams = [th[i: i + n] for i in range(len(words) - n + 1)]
+    out = set()
+    for g in grams:
+        h = 0
+        for t in g:
+            h = (h * _WINNOW_P + t) & M
+        out.add(h >> 3)
+    return np.fromiter(out, dtype=np.uint64, count=len(out))
+
+
 class MinHasher:
     """Vectorized minhash: perm_i(h) = a_i * h + b_i over the 2^64
     ring (wraparound multiply is a standard universal-ish permutation
@@ -238,62 +263,93 @@ class MinHasher:
         self.fsb = fsb
 
     def signature(self, text: str) -> np.ndarray:
-        h = _hash_shingles(_word_ngrams(text.split(), self.ngram))
+        h = _doc_shingle_hashes(text.split(), self.ngram)
         if len(h) == 0:
             return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
             vals = self.a[:, None] * h[None, :] + self.b[:, None]  # (P, S) u64 wrap
         return vals.min(axis=1)
 
-    def _batch_shingle_rows(self, texts: pd.Series):
-        """Vectorized shingling for a whole batch: explode words once,
-        shift-align ``ngram`` columns to form shingles, dedup within
-        doc, blake2b once per UNIQUE shingle in the batch (shingles
-        repeat heavily across docs — per-doc hashing recomputes them).
-        Returns (doc_row_idx sorted asc, shingle_hash) arrays."""
-        n = self.ngram
-        words = texts.str.split().reset_index(drop=True)
-        ex = words.explode()
-        di = ex.index.to_numpy(dtype=np.int64)
-        dw = ex.to_numpy()
-        L = len(di)
-        valid = ~pd.isna(dw)  # empty docs explode to one NaN row
-        for k in range(1, n):
-            nxt = np.zeros(L, dtype=bool)
-            if L > k:
-                nxt[:L - k] = di[k:] == di[:L - k]
-            valid &= nxt
-        starts = np.nonzero(valid)[0]
-        sh = dw[starts].copy()
-        for k in range(1, n):
-            sh = sh + " "
-            sh = sh + dw[starts + k]
-        rows = di[starts]
-        # docs with 0 < len(words) < ngram get ONE whole-doc shingle
-        # (the _word_ngrams short-doc rule); empty docs get none
-        lens = words.str.len().to_numpy(dtype=np.int64)
-        short = np.nonzero((lens > 0) & (lens < n))[0]
-        if len(short):
-            short_sh = words.iloc[short].str.join(" ").to_numpy()
-            rows = np.concatenate([rows, short])
-            sh = np.concatenate([sh, short_sh])
-            order = np.argsort(rows, kind="stable")
-            rows, sh = rows[order], sh[order]
-        if not len(rows):
-            return rows, np.empty(0, dtype=np.uint64)
-        # within-doc set semantics, then hash once per batch-unique
-        df = pd.DataFrame({"r": rows, "s": sh}).drop_duplicates()
-        codes, uniq = pd.factorize(df["s"].to_numpy())
-        uh = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8)
-                            .digest(), "big") >> 3 for s in uniq),
-            dtype=np.uint64, count=len(uniq))
-        return df["r"].to_numpy(dtype=np.int64), uh[codes]
+    def _batch_shingle_rows(self, col):
+        """Vectorized shingling for a whole batch (exactly
+        :func:`_doc_shingle_hashes` per row): Arrow tokenize +
+        ``dictionary_encode`` so blake2b runs once per batch-UNIQUE
+        token; shingle hashes are the n-step numpy polynomial fold over
+        shifted contiguous slices of the flat token-hash stream (no
+        shingle string is ever built). Input: a null-filled Arrow
+        string array. Returns (doc_row_idx, shingle_hash) with each
+        doc's rows contiguous (set semantics falls out of the
+        consumer's idempotent min reduction)."""
+        import pyarrow.compute as pc
 
-    def __call__(self, batch: pd.DataFrame):
-        texts = batch["text"].fillna("")
-        rows, h = self._batch_shingle_rows(texts)
-        D = len(batch)
+        from .text import _token_hash, _WINNOW_P
+
+        n = self.ngram
+        D = len(col)
+        toks = pc.utf8_split_whitespace(col)
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab_py = enc.dictionary.to_pylist()
+        if "" in vocab_py:
+            keep = codes != vocab_py.index("")
+            codes, parent = codes[keep], parent[keep]
+        uh = np.fromiter((_token_hash(w) for w in vocab_py),
+                         dtype=np.uint64, count=len(vocab_py))
+        th = uh[codes] if len(codes) else np.empty(0, np.uint64)
+        nw = np.bincount(parent, minlength=D).astype(np.int64)
+        off = np.zeros(D + 1, dtype=np.int64)
+        np.cumsum(nw, out=off[1:])
+        P = np.uint64(_WINNOW_P)
+
+        with np.errstate(over="ignore"):
+            # long docs: fold over shifted contiguous slices, 1 gather
+            ldocs = np.flatnonzero(nw >= n)
+            m = nw[ldocs] - n + 1
+            tot_l = int(m.sum())
+            if tot_l:
+                mstart = np.zeros(len(ldocs), dtype=np.int64)
+                np.cumsum(m[:-1], out=mstart[1:])
+                rep = np.repeat(np.arange(len(ldocs)), m)
+                gs = off[ldocs][rep] + (np.arange(tot_l, dtype=np.int64)
+                                        - mstart[rep])
+                nt = len(th)
+                hf = th[: nt - n + 1].copy()
+                for i in range(1, n):
+                    hf = hf * P + th[i: nt - n + 1 + i]
+                h_long = hf[gs] >> np.uint64(3)
+                rows_long = ldocs[rep]
+            else:
+                h_long = np.empty(0, np.uint64)
+                rows_long = np.empty(0, np.int64)
+            # short docs (0 < nw < n): ONE whole-doc shingle
+            sdocs = np.flatnonzero((nw > 0) & (nw < n))
+            if len(sdocs):
+                h_short = th[off[sdocs]].copy()
+                for step in range(1, n - 1):
+                    mask = nw[sdocs] > step
+                    h_short[mask] = (h_short[mask] * P
+                                     + th[off[sdocs][mask] + step])
+                h_short >>= np.uint64(3)
+            else:
+                h_short = np.empty(0, np.uint64)
+
+        # duplicates stay: min is idempotent, so the segment-min gives
+        # set semantics for free — a global dedup sort would cost more
+        # than it saves. Each doc's rows are CONTIGUOUS (long docs are
+        # doc-major; short docs are one row each), which is all the
+        # segment-min reduction requires.
+        rows = np.concatenate([rows_long, sdocs])
+        h = np.concatenate([h_long, h_short])
+        return rows.astype(np.int64, copy=False), h
+
+    def __call__(self, t):
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(t["text"].combine_chunks(), "")
+        rows, h = self._batch_shingle_rows(col)
+        D = t.num_rows
         sig = np.full((D, self.num_perm), np.iinfo(np.uint64).max,
                       dtype=np.uint64)
         if len(rows):
@@ -332,19 +388,16 @@ class MinHasher:
             sigb = pa.Array.from_buffers(
                 pa.binary(W), D,
                 [None, pa.py_buffer(np.ascontiguousarray(sig).tobytes())])
-            return pa.table({
-                "doc_id": pa.array(
-                    batch["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
-                "sigb": sigb})
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "sig": [s.tolist() for s in sig]})
+            return pa.table({"doc_id": t["doc_id"], "sigb": sigb})
+        return pa.table({"doc_id": t["doc_id"],
+                         "sig": pa.array([s.tolist() for s in sig])})
 
 
 def minhash_signatures(sf_dir: str, num_perm: int = 128, ngram: int = 3):
     # stage instance → stateless tasks (no actor-pool CPU reservation;
     # the hasher state is just two small numpy arrays)
     return _docs(sf_dir).map_batches(
-        MinHasher(num_perm=num_perm, ngram=ngram), batch_format="pandas"
+        MinHasher(num_perm=num_perm, ngram=ngram), batch_format="pyarrow"
     )
 
 
@@ -357,7 +410,7 @@ def _signatures_fsb(sf_dir: str, num_perm: int = 128, ngram: int = 3):
     way back in (:func:`_sig_mat`)."""
     return _docs(sf_dir).map_batches(
         MinHasher(num_perm=num_perm, ngram=ngram, fsb=True),
-        batch_format="pandas")
+        batch_format="pyarrow")
 
 
 def _sig_mat(col, num_perm: int) -> np.ndarray:

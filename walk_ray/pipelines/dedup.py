@@ -1140,37 +1140,47 @@ class SimHasher:
             return 0
         return int(np.bitwise_or.reduce(np.uint64(1) << set_bits))
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # batch-vectorized: explode words once, count per (doc, word),
-        # md5 once per batch-UNIQUE word, one scatter-add into the
-        # (docs × 64) sign accumulator — no per-doc Python
+    def __call__(self, t):
+        # batch-vectorized on Arrow dictionary codes: tokenize +
+        # dictionary_encode once (split() parity), md5 once per
+        # batch-UNIQUE word (the oracle-shared semantic), one
+        # scatter-add into the (docs × 64) sign accumulator —
+        # no per-doc or per-token Python
         import hashlib as _hl
 
-        texts = batch["text"].fillna("")
-        D = len(batch)
-        ex = texts.str.split().reset_index(drop=True).explode().dropna()
+        import pyarrow.compute as pc
+
+        D = t.num_rows
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t["text"].combine_chunks(), ""))
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab_py = enc.dictionary.to_pylist()
+        if "" in vocab_py:
+            keep = codes != vocab_py.index("")
+            codes, parent = codes[keep], parent[keep]
         out_hash = np.zeros(D, dtype=np.uint64)
-        if len(ex):
-            di = ex.index.to_numpy(dtype=np.int64)
-            codes, uniq = pd.factorize(ex.to_numpy())
+        if len(codes):
             uh = np.fromiter(
-                (int(_hl.md5(w.encode()).hexdigest()[:16], 16) for w in uniq),
-                dtype=np.uint64, count=len(uniq))
+                (int(_hl.md5(w.encode()).hexdigest()[:16], 16)
+                 for w in vocab_py),
+                dtype=np.uint64, count=len(vocab_py))
             shifts = np.uint64(63) - np.arange(64, dtype=np.uint64)
             ubits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)) \
-                .astype(np.int64)  # (U, 64)
+                .astype(np.int64)  # (V, 64)
             # tf-weighting == summing each word INSTANCE's ±1 vector,
             # so no (doc, word) count pass: one scatter-add over the
-            # exploded instances
+            # token instances
             acc = np.zeros((D, 64), dtype=np.int64)
-            np.add.at(acc, di, 2 * ubits[codes] - 1)
+            np.add.at(acc, parent, 2 * ubits[codes] - 1)
             pos = acc > 0
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            out_hash = (pos.astype(np.uint64) * weights[None, :]).sum(axis=1,
-                                                                      dtype=np.uint64)
-        out = pd.DataFrame({"doc_id": batch["doc_id"]})
-        out["simhash"] = out_hash
-        return out
+            out_hash = (pos.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "simhash": pa.array(out_hash, pa.uint64())})
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 3):
@@ -1182,7 +1192,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 3):
     shares a bucket. The 8-byte simhash rides on each band row — the
     bucket verifies locally, no driver materialization or broadcast.
     """
-    sigs = _docs(sf_dir).map_batches(SimHasher(), batch_format="pandas")
+    sigs = _docs(sf_dir).map_batches(SimHasher(), batch_format="pyarrow")
 
     NPARTS = 64  # verify partitions (bounded group count, see minhash)
 

@@ -85,7 +85,7 @@ def test_simhash_dedup_exact_vs_duckdb_hamming():
     # claims exact recall at Hamming ≤ 3 by pigeonhole)
     sigs = (
         rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(dedup.SimHasher(), batch_format="pandas")
+        .map_batches(dedup.SimHasher(), batch_format="pyarrow")
         .to_pandas()
     )
     sigs["sh"] = sigs["simhash"].to_numpy(dtype="uint64").view("int64")

@@ -48,7 +48,7 @@ def test_simhash_equals_bruteforce():
     """4×16-bit banding has EXACT recall at Hamming ≤ 3 (pigeonhole:
     ≤3 differing bits leave one band clean), so the pipeline must
     equal the all-pairs scan over the same signatures."""
-    sigs = dedup._docs(SF).map_batches(dedup.SimHasher(), batch_format="pandas").to_pandas()
+    sigs = dedup._docs(SF).map_batches(dedup.SimHasher(), batch_format="pyarrow").to_pandas()
     brute = set()
     rows = sorted(zip(sigs["doc_id"], sigs["simhash"]))
     for (a, ha), (b, hb) in itertools.combinations(rows, 2):

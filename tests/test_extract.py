@@ -73,6 +73,24 @@ def test_multihash_b58():
     assert multihash_b58(b"abc") != multihash_b58(b"abd")
 
 
+def test_multihash_batch():
+    """The numpy multi-precision base58 batch kernel is row-for-row
+    identical to the scalar bigint encoder — including empty bodies,
+    None (normalized to b"" like extract_batch does), and random
+    binary of every small length."""
+    import random
+
+    from walk_ray.functions.extract import multihash_b58_batch
+
+    assert multihash_b58_batch([]) == []
+    rng = random.Random(77)
+    bodies = [b"", None, b"abc", b"\x00" * 64]
+    bodies += [rng.randbytes(rng.randrange(0, 500)) for _ in range(300)]
+    got = multihash_b58_batch(bodies)
+    want = [multihash_b58(b if b is not None else b"") for b in bodies]
+    assert got == want
+
+
 def test_extract_batch_gate():
     out = extract_batch(
         ["http://a.com/x", "http://a.com/img.png"],

@@ -36,6 +36,7 @@ __all__ = [
     "extract_links",
     "extract_text",
     "multihash_b58",
+    "multihash_b58_batch",
     "extract_batch",
 ]
 
@@ -214,6 +215,16 @@ def extract_text(html: bytes) -> str:
     return " ".join(text.split())
 
 
+# NOTE on why there is no Arrow batch twin for extract_text: it was
+# built and measured (round 5) — Arrow RE2 replace loses on every
+# piece of this kernel at bench-page sizes (script/style 7.7 vs 5.9
+# µs/row, tag strip 20.1 vs 13.5, and the whitespace collapse is
+# 51-53 µs/row in RE2 vs 35 for ``" ".join(s.split())`` because
+# Arrow's per-match replace machinery dominates on dense short
+# matches). The compiled-bytes-regex scalar below IS the fast path;
+# the batch loop is the vectorization boundary.
+
+
 # --- hashing ----------------------------------------------------------
 
 _B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
@@ -256,6 +267,71 @@ def multihash_b58(body: bytes) -> str:
     return _b58encode(b"\x12\x20" + digest)
 
 
+def multihash_b58_batch(bodies) -> list[str]:
+    """Batch :func:`multihash_b58`: sha256 stays per row (hashlib is
+    C), but the base58 conversion — the profile's hottest scalar
+    kernel at ~46 µs/row — runs as ONE numpy multi-precision base
+    conversion over the whole batch: each 34-byte multihash is 9
+    big-endian uint32 limbs (front-padded to 36 bytes), each pass
+    divmods the full limb matrix by 58^5 (fits: carry < 2^30, so
+    ``carry<<32 | limb`` < 2^62), and the 5-digit chunks expand with
+    vectorized divmods. Leading zero base58 digits are trimmed per
+    row exactly like the scalar loop's ``while n`` termination; the
+    ``\\x12`` multihash prefix guarantees no leading zero BYTES, so
+    the scalar path's '1'-padding never applies here (asserted
+    against :func:`multihash_b58` by ``test_multihash_batch``)."""
+    import numpy as np
+
+    n = len(bodies)
+    if n == 0:
+        return []
+    sha = hashlib.sha256
+    concat = b"".join(
+        b"\x00\x00\x12\x20" + sha(b if b is not None else b"").digest()
+        for b in bodies
+    )
+    limbs = (
+        np.frombuffer(concat, dtype=">u4")
+        .reshape(n, 9)
+        .astype(np.uint64)
+        .T.copy()  # (9, n) limb-major: each pass walks limbs once
+    )
+    D = np.uint64(58**5)
+    SHIFT = np.uint64(32)
+    chunks = []  # least-significant 5-digit chunk first
+    # 2^288 < 58^50: ten passes always exhaust 36-byte values
+    for _ in range(10):
+        carry = np.zeros(n, dtype=np.uint64)
+        for i in range(9):
+            cur = (carry << SHIFT) | limbs[i]
+            limbs[i] = cur // D
+            carry = cur % D
+        chunks.append(carry)
+        if not limbs.any():
+            break
+    n_chunks = len(chunks)
+    # digit matrix, most-significant digit first: (n, n_chunks*5)
+    digits = np.empty((n, n_chunks * 5), dtype=np.uint64)
+    f58 = np.uint64(58)
+    for c, chunk in enumerate(chunks):
+        base = (n_chunks - 1 - c) * 5
+        for d in range(4, -1, -1):
+            digits[:, base + d] = chunk % f58
+            chunk = chunk // f58
+    alpha = np.frombuffer(_B58_ALPHABET.encode(), dtype=np.uint8)
+    chars = alpha[digits.astype(np.int64)]
+    # trim leading zero digits (value 0 → alphabet '1'), matching the
+    # scalar loop; an all-zero row (empty value) yields ""
+    keep = np.cumsum(digits != 0, axis=1) > 0
+    lengths = keep.sum(axis=1).astype(np.int64)
+    data = chars[keep].tobytes()
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    return [
+        data[offs[i]:offs[i + 1]].decode("ascii") for i in range(n)
+    ]
+
+
 # --- batch kernel -----------------------------------------------------
 
 _HTML_SNIFFS = ("text/html; charset=utf-8", "text/plain; charset=utf-8")
@@ -271,19 +347,19 @@ def extract_batch(urls, bodies):
     """
     sniffs: list[str] = []
     lengths: list[int] = []
-    hashes: list[str] = []
     titles: list[str] = []
     links: list[list[str]] = []
     texts: list[str] = []
     html_idx: list[int] = []
     html_urls: list[str] = []
     html_bodies: list[bytes] = []
+    norm_bodies: list[bytes] = []
     for i, (url, body) in enumerate(zip(urls, bodies)):
         body = bytes(body) if body is not None else b""
+        norm_bodies.append(body)
         sniff = detect_content_type(body)
         sniffs.append(sniff)
         lengths.append(len(body))
-        hashes.append(multihash_b58(body))
         if sniff in _HTML_SNIFFS:
             titles.append(extract_title(body))
             texts.append(extract_text(body))
@@ -301,7 +377,7 @@ def extract_batch(urls, bodies):
     return {
         "content_sniff": sniffs,
         "content_length": lengths,
-        "hash": hashes,
+        "hash": multihash_b58_batch(norm_bodies),
         "title": titles,
         "links": links,
         "text": texts,

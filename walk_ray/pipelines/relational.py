@@ -623,40 +623,77 @@ def events_hopping_window(sf_dir: str, window_sec: int = 3600, hop_sec: int = 90
     """Hopping (sliding) window aggregate: count + sum(value) per
     (event_type, window) where windows are ``window_sec`` wide and
     start every ``hop_sec`` — each event lands in
-    ``window_sec/hop_sec`` overlapping windows. The expansion is a
-    vectorized np.repeat inside map_batches; partial per-batch
-    aggregation keeps the shuffle at (type, window) granularity."""
-    from ray.data.aggregate import Sum
+    ``window_sec/hop_sec`` overlapping windows.
+
+    Same exchange shape as :func:`events_tumbling_window` (the keys
+    hash into dense buckets, so the Dataset sort-shuffle this replaced
+    paid its fixed cost for nothing): the k-way expansion, the
+    per-block partial aggregation and the bucket id all fuse into the
+    exchange split task, over dictionary CODES — event types repeat as
+    int32 codes, the (code, window) partial is one factorize+bincount,
+    and type strings materialize once per distinct output row."""
+    from zlib import crc32
+
+    from walk_ray.stages.exchange import bucket_exchange
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
     k = window_sec // hop_sec  # windows per event
+    NB = 32
 
-    def expand_partial(batch: pd.DataFrame) -> pd.DataFrame:
-        t = (batch["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000_000).to_numpy()
-        base = (t // hop_sec) * hop_sec  # latest window start containing t
-        starts = np.repeat(base, k) - np.tile(np.arange(k) * hop_sec, len(t))
-        df = pd.DataFrame(
-            {
-                "event_type": np.repeat(batch["event_type"].to_numpy(), k),
-                "window_start": starts,
-                "value": np.repeat(batch["value"].to_numpy(), k),
-            }
-        )
-        return (
-            df.groupby(["event_type", "window_start"], as_index=False)
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
-        )
+    win_schema = pa.schema([("event_type", pa.string()),
+                            ("window_start", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("sum_value", pa.float64()),
+                            ("bucket", pa.int64())])
 
-    out = (
-        ds.map_batches(expand_partial, batch_format="pandas")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Sum("n_events", alias_name="n_events"),
-                   Sum("sum_value", alias_name="sum_value"))
-    )
+    def expand_partial(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if not n:
+            return win_schema.empty_table()
+        secs = (pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+                // 1_000_000)
+        base = (secs // hop_sec) * hop_sec  # latest window containing t
+        enc = pc.dictionary_encode(batch["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = batch["value"].to_numpy(zero_copy_only=False)
+        starts = np.repeat(base, k) - np.tile(
+            np.arange(k, dtype=np.int64) * hop_sec, n)
+        # (code, window) composite fits int64: epoch seconds < 2^31
+        comp = (np.repeat(codes, k) << np.int64(32)) | starts
+        grp, uniq = pd.factorize(comp)
+        cnt = np.bincount(grp).astype(np.int64)
+        sv = np.bincount(grp, weights=np.repeat(vals, k))
+        uniq = np.asarray(uniq, dtype=np.int64)
+        ucode, ustart = uniq >> np.int64(32), uniq & np.int64(0xFFFFFFFF)
+        th = np.fromiter((crc32(s.encode())
+                          for s in enc.dictionary.to_pylist()),
+                         dtype=np.int64, count=len(enc.dictionary))
+        return pa.table({
+            "event_type": pc.take(enc.dictionary, pa.array(ucode)),
+            "window_start": pa.array(ustart, pa.int64()),
+            "n_events": pa.array(cnt, pa.int64()),
+            "sum_value": pa.array(sv, pa.float64()),
+            "bucket": pa.array((th[ucode] ^ ustart) % np.int64(NB),
+                               pa.int64())}).cast(win_schema)
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["sum_value"] = batch["sum_value"].round(4)
-        batch["n_events"] = batch["n_events"].astype("int64")
-        return batch
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("window_start", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("sum_value", pa.float64())])
 
-    return out.map_batches(finish, batch_format="pandas")
+    def combine(_b: int, t) -> pa.Table:
+        if t is None or not t.num_rows:
+            return out_schema.empty_table()
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")])
+        # np.round, not pc.round: Arrow rounds to a different nearest
+        # double in the last ulp and the oracle hash compares reprs
+        sv = np.round(g["sum_value_sum"].to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "event_type": g["event_type"],
+            "window_start": g["window_start"],
+            "n_events": g["n_events_sum"].cast(pa.int64()),
+            "sum_value": pa.array(sv, pa.float64())})
+
+    return bucket_exchange([(ds, "bucket")], NB, combine,
+                           schemas=[win_schema], map_fns=[expand_partial])

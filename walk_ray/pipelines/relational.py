@@ -86,7 +86,11 @@ def pricing_summary(sf_dir: str):
 
 def orders_by_nation(sf_dir: str):
     """Broadcast join: orders ⋈ customer ⋈ nation (dimension sides are
-    small → ``ray.put`` once, dict-merge per batch; no shuffle join)."""
+    small → ``ray.put`` once, dict-merge per block; no shuffle join).
+    The broadcast lookup + per-block partial aggregation fuse into the
+    exchange split task and the 25-key final sum completes per hash
+    bucket — the Dataset sort-shuffle this replaced paid its ~1.5 s
+    fixed cost to sort one row per nation per block."""
     import ray
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
@@ -95,43 +99,74 @@ def orders_by_nation(sf_dir: str):
     nation_map = dict(zip(nation["n_nationkey"], nation["n_name"]))
     ref = ray.put((cust_map, nation_map))
 
-    from ray.data.aggregate import Sum
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
-    class AddNation:
-        """Broadcast-join + per-batch PARTIAL aggregation: the groupby
-        shuffle moves one row per nation per batch, not per order."""
+    def partial(t: pa.Table) -> pa.Table:
+        # ray.get on a shared plasma object is a zero-copy read per task
+        cust_m, nation_m = ray.get(ref)
+        df = t.to_pandas()
+        df["n_name"] = df["o_custkey"].map(cust_m).map(nation_m)
+        g = (df.groupby("n_name", as_index=False)
+             .agg(n_orders=("o_totalprice", "size"),
+                  total_price=("o_totalprice", "sum")))
+        return _nation_partial_table(g)
 
-        def __init__(self):
-            self._loaded = False
+    return _nation_sum_exchange(orders, partial)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if not self._loaded:
-                self.cust_map, self.nation_map = ray.get(ref)
-                self._loaded = True
-            nk = batch["o_custkey"].map(self.cust_map)
-            batch["n_name"] = nk.map(self.nation_map)
-            return (
-                batch.groupby("n_name", as_index=False)
-                .agg(n_orders=("o_totalprice", "size"),
-                     total_price=("o_totalprice", "sum"))
-            )
 
-    out = (
-        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(AddNation(), batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Sum("total_price", alias_name="total_price"),
-        )
-    )
+_NATION_NB = 8  # 25 nations → a handful of buckets is plenty
 
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["total_price"] = batch["total_price"].round(4)
-        batch["n_orders"] = batch["n_orders"].astype("int64")
-        return batch
+_NATION_PART_SCHEMA = None
 
-    return out.map_batches(finish, batch_format="pandas")
+
+def _nation_part_schema():
+    global _NATION_PART_SCHEMA
+    if _NATION_PART_SCHEMA is None:
+        _NATION_PART_SCHEMA = pa.schema([
+            ("n_name", pa.string()), ("n_orders", pa.int64()),
+            ("total_price", pa.float64()), ("bucket", pa.int64())])
+    return _NATION_PART_SCHEMA
+
+
+def _nation_partial_table(g: pd.DataFrame) -> pa.Table:
+    """Partial rows (one per nation per block) + bucket id."""
+    from zlib import crc32
+
+    names = g["n_name"].to_numpy()
+    bucket = np.fromiter((crc32(s.encode()) % _NATION_NB for s in names),
+                         dtype=np.int64, count=len(names))
+    return pa.table({
+        "n_name": pa.array(names, pa.string()),
+        "n_orders": pa.array(g["n_orders"].to_numpy(), pa.int64()),
+        "total_price": pa.array(g["total_price"].to_numpy(), pa.float64()),
+        "bucket": pa.array(bucket, pa.int64())}).cast(_nation_part_schema())
+
+
+def _nation_sum_exchange(ds, partial_fn):
+    """Shared finish for both orders_by_nation variants: fuse the
+    partial into the split task, sum per bucket, round like the SQL."""
+    from walk_ray.stages.exchange import bucket_exchange
+
+    out_schema = pa.schema([("n_name", pa.string()),
+                            ("n_orders", pa.int64()),
+                            ("total_price", pa.float64())])
+
+    def combine(_b: int, t) -> pa.Table:
+        if t is None or not t.num_rows:
+            return out_schema.empty_table()
+        g = t.group_by("n_name").aggregate(
+            [("n_orders", "sum"), ("total_price", "sum")])
+        # np.round, not pc.round: Arrow rounds to a different nearest
+        # double in the last ulp and the oracle hash compares reprs
+        tp = np.round(g["total_price_sum"].to_numpy(zero_copy_only=False), 4)
+        return pa.table({
+            "n_name": g["n_name"],
+            "n_orders": g["n_orders_sum"].cast(pa.int64()),
+            "total_price": pa.array(tp, pa.float64())})
+
+    return bucket_exchange([(ds, "bucket")], _NATION_NB, combine,
+                           schemas=[_nation_part_schema()],
+                           map_fns=[partial_fn])
 
 
 def events_tumbling_window(sf_dir: str, window_sec: int = 3600):
@@ -410,7 +445,6 @@ def orders_by_nation_shuffle(sf_dir: str, engine: str = "bucketed",
     grouped aggregate as :func:`orders_by_nation`. Same oracle SQL.
     ``engine`` selects the join implementation (see :func:`hash_join`)."""
     import ray
-    from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     customer = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
@@ -420,33 +454,16 @@ def orders_by_nation_shuffle(sf_dir: str, engine: str = "bucketed",
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nation_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
 
-    class Partial:
-        def __init__(self):
-            self._m = None
+    def partial(t: pa.Table) -> pa.Table:
+        nation_m = ray.get(nation_ref)
+        df = t.select(["c_nationkey", "o_totalprice"]).to_pandas()
+        df["n_name"] = df["c_nationkey"].map(nation_m)
+        g = (df.groupby("n_name", as_index=False)
+             .agg(n_orders=("o_totalprice", "size"),
+                  total_price=("o_totalprice", "sum")))
+        return _nation_partial_table(g)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            if self._m is None:
-                self._m = ray.get(nation_ref)
-            batch["n_name"] = batch["c_nationkey"].map(self._m)
-            return (
-                batch.groupby("n_name", as_index=False)
-                .agg(n_orders=("o_totalprice", "size"),
-                     total_price=("o_totalprice", "sum"))
-            )
-
-    out = (
-        joined.map_batches(Partial(), batch_format="pandas")
-        .groupby("n_name")
-        .aggregate(Sum("n_orders", alias_name="n_orders"),
-                   Sum("total_price", alias_name="total_price"))
-    )
-
-    def finish(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["total_price"] = batch["total_price"].round(4)
-        batch["n_orders"] = batch["n_orders"].astype("int64")
-        return batch
-
-    return out.map_batches(finish, batch_format="pandas")
+    return _nation_sum_exchange(joined, partial)
 
 
 def hash_join(left, right, left_on: str, right_on: str, n_buckets: int = 64,

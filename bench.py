@@ -273,25 +273,28 @@ def run_scaling() -> dict:
             raise SystemExit(proc.returncode)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     r_lo = run(lo)
     r_hi = run(hi)
     tp_lo = r_lo["urls_per_sec"]
     tp_hi = r_hi["urls_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
     return {
-        "metric": "crawl throughput scaling efficiency (8 → 32 CPUs, median-of-N per level)",
+        "metric": (f"crawl throughput scaling efficiency ({lo} → {hi} "
+                   "CPUs, median-of-N per level)"),
         "value": round(eff, 3),
         "unit": "efficiency",
-        "urls_per_sec_8": tp_lo,
-        "urls_per_sec_32": tp_hi,
-        "all_runs_8": r_lo["crawl"]["all_runs_urls_per_sec"],
-        "all_runs_32": r_hi["crawl"]["all_runs_urls_per_sec"],
-        "crawl_sec_8": r_lo["crawl"]["crawl_sec"],
-        "crawl_sec_32": r_hi["crawl"]["crawl_sec"],
-        "queries": {"bench_8": r_lo["value"], "bench_32": r_hi["value"]},
-        "queries_8": r_lo["queries"],
-        "queries_32": r_hi["queries"],
+        f"urls_per_sec_{lo}": tp_lo,
+        f"urls_per_sec_{hi}": tp_hi,
+        f"all_runs_{lo}": r_lo["crawl"]["all_runs_urls_per_sec"],
+        f"all_runs_{hi}": r_hi["crawl"]["all_runs_urls_per_sec"],
+        f"crawl_sec_{lo}": r_lo["crawl"]["crawl_sec"],
+        f"crawl_sec_{hi}": r_hi["crawl"]["crawl_sec"],
+        "queries": {f"bench_{lo}": r_lo["value"],
+                    f"bench_{hi}": r_hi["value"]},
+        f"queries_{lo}": r_lo["queries"],
+        f"queries_{hi}": r_hi["queries"],
         "sf": SF_DIR,
         "num_cpus": hi,
     }
@@ -333,7 +336,8 @@ def run_scaling_paired() -> dict:
             raise SystemExit(proc.returncode)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
     n_pairs = int(os.environ.get("BENCH_PAIRS", "6"))
     reps = int(os.environ.get("BENCH_PAIR_REPEATS", "2"))
     pairs = []
@@ -346,9 +350,9 @@ def run_scaling_paired() -> dict:
         eff = (tp_hi / tp_lo) / (hi / lo)
         pairs.append({
             "order": f"{order[0]}->{order[1]}",
-            "urls_per_sec_8": tp_lo, "urls_per_sec_32": tp_hi,
-            "runs_8": legs[lo]["crawl"]["all_runs_urls_per_sec"],
-            "runs_32": legs[hi]["crawl"]["all_runs_urls_per_sec"],
+            f"urls_per_sec_{lo}": tp_lo, f"urls_per_sec_{hi}": tp_hi,
+            f"runs_{lo}": legs[lo]["crawl"]["all_runs_urls_per_sec"],
+            f"runs_{hi}": legs[hi]["crawl"]["all_runs_urls_per_sec"],
             "efficiency": round(eff, 3),
         })
         sys.stderr.write(f"pair {k + 1}/{n_pairs}: {tp_lo:.0f} -> "
@@ -356,21 +360,103 @@ def run_scaling_paired() -> dict:
     effs = sorted(p["efficiency"] for p in pairs)
     med_eff = effs[(len(effs) - 1) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
-    med8 = sorted(p["urls_per_sec_8"] for p in pairs)[len(pairs) // 2]
-    med32 = sorted(p["urls_per_sec_32"] for p in pairs)[len(pairs) // 2]
+    med8 = sorted(p[f"urls_per_sec_{lo}"] for p in pairs)[len(pairs) // 2]
+    med32 = sorted(p[f"urls_per_sec_{hi}"] for p in pairs)[len(pairs) // 2]
     return {
         "metric": ("crawl throughput scaling efficiency "
-                   "(8 -> 32 CPUs, median of per-pair ratios, "
+                   f"({lo} -> {hi} CPUs, median of per-pair ratios, "
                    f"{n_pairs} interleaved pairs x {reps} reps/leg)"),
         "value": med_eff,
         "unit": "efficiency",
-        "urls_per_sec_8": med8,
-        "urls_per_sec_32": med32,
+        f"urls_per_sec_{lo}": med8,
+        f"urls_per_sec_{hi}": med32,
         "pair_efficiencies": effs,
         "pairs": pairs,
         "sf": SF_DIR,
         "num_cpus": hi,
     }
+
+
+def _hostcal_burn_cpu(q, dur: float):
+    """Fixed-work integer chunks — L1-resident, no memory traffic."""
+    import time as _t
+
+    t_end = _t.time() + dur
+    n = 0
+    while _t.time() < t_end:
+        x = 0
+        for i in range(200000):
+            x += i * i
+        n += 1
+    q.put(n)
+
+
+def _hostcal_burn_mem(q, dur: float):
+    """Streaming copy+sum over a 64 MB array — pure DRAM bandwidth."""
+    import time as _t
+
+    import numpy as _np
+
+    a = _np.random.rand(8_000_000)
+    b = _np.empty_like(a)
+    t_end = _t.time() + dur
+    n = 0
+    while _t.time() < t_end:
+        _np.copyto(b, a)
+        float(b.sum())
+        n += 1
+    q.put(n)
+
+
+def run_hostcal() -> dict:
+    """Host-scaling calibration: how much MORE aggregate work the bare
+    host delivers going lo → hi parallel pinned processes, measured
+    separately for CPU cycles (L1-resident integer loop) and DRAM
+    bandwidth (streaming 64 MB copy+sum). Interprets the crawl's
+    paired-scaling numbers: if the host's own bandwidth efficiency at
+    lo → hi is X, no data-moving job can measure above ~X on it —
+    the ceiling is the machine's memory system, not the engine's
+    partitioning (observed on the round-5 post-reboot host: CPU 0.86,
+    DRAM 0.40-0.48, crawl 0.40-0.54 — the crawl tracked DRAM exactly).
+    Env: BENCH_SCALE_LO/HI (default 8/32), HOSTCAL_SECS (default 8),
+    HOSTCAL_TRIALS (default 3)."""
+    import multiprocessing as mp
+
+    lo = int(os.environ.get("BENCH_SCALE_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALE_HI", "32"))
+    dur = float(os.environ.get("HOSTCAL_SECS", "8"))
+    trials = int(os.environ.get("HOSTCAL_TRIALS", "3"))
+
+    def agg(burn, k: int) -> float:
+        os.sched_setaffinity(0, set(range(k)))
+        try:
+            q = mp.Queue()
+            ps = [mp.Process(target=burn, args=(q, dur)) for _ in range(k)]
+            for p in ps:
+                p.start()
+            tot = sum(q.get() for _ in ps)
+            for p in ps:
+                p.join()
+        finally:
+            os.sched_setaffinity(0, set(range(os.cpu_count())))
+        return tot / dur
+
+    out = {"metric": f"host aggregate-work scaling {lo} -> {hi} pinned "
+                     "processes (cpu = L1 integer loop, mem = 64MB "
+                     "streaming copy+sum)",
+           "unit": "efficiency", "lo": lo, "hi": hi, "trials": []}
+    for _ in range(trials):
+        c_lo, c_hi = agg(_hostcal_burn_cpu, lo), agg(_hostcal_burn_cpu, hi)
+        m_lo, m_hi = agg(_hostcal_burn_mem, lo), agg(_hostcal_burn_mem, hi)
+        t = {"cpu_eff": round((c_hi / c_lo) / (hi / lo), 3),
+             "mem_eff": round((m_hi / m_lo) / (hi / lo), 3),
+             "cpu_rate_lo": round(c_lo, 1), "cpu_rate_hi": round(c_hi, 1),
+             "mem_rate_lo": round(m_lo, 1), "mem_rate_hi": round(m_hi, 1)}
+        out["trials"].append(t)
+        sys.stderr.write(f"hostcal: cpu {t['cpu_eff']}, mem {t['mem_eff']}\n")
+    med = sorted(t["mem_eff"] for t in out["trials"])[(trials - 1) // 2]
+    out["value"] = med
+    return out
 
 
 def run_volume() -> dict:
@@ -470,6 +556,8 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--volume" in sys.argv:
         print(json.dumps(run_volume()))
+    elif "--hostcal" in sys.argv:
+        print(json.dumps(run_hostcal()))
     elif "--stats" in sys.argv:
         i = sys.argv.index("--stats") + 1
         if i >= len(sys.argv):

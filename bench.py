@@ -467,7 +467,10 @@ def run_volume() -> dict:
     ops end to end with auto-derived bucket counts.
 
     Env: VOLUME_DOCS (default 5_000_000), VOLUME_DIR (default
-    /tmp/walk_ray_volume/docs_<n>)."""
+    /tmp/walk_ray_volume/docs_<n>), VOLUME_OPS (comma-separated
+    subset of the four op names — a >16 GB corpus that exercises the
+    auto_buckets byte term doesn't fit ALL ops on one sandbox disk:
+    minhash's skinny band rows alone are ~2.9x the corpus text)."""
     import ray
 
     from walk_ray.sources.docgen import generate_documents
@@ -492,6 +495,22 @@ def run_volume() -> dict:
     tbl = f"{vol_dir}/documents.parquet"
     ops = {}
 
+    all_ops = {
+        "prepare_corpus": lambda: prepare.prepare_corpus(vol_dir),
+        "lm_perplexity": lambda: text.lm_perplexity(vol_dir),
+        "winnow_fingerprints": lambda: text.winnow_fingerprints(vol_dir),
+        "minhash_lsh_dedup":
+            lambda: dedup.minhash_lsh_dedup(vol_dir, ngram=3, threshold=0.5),
+        # opt-in only (VOLUME_OPS): skinny exchanged rows, useful as a
+        # second op at byte-term corpus sizes where the token-volume
+        # ops outgrow a single sandbox node's disk
+        "exact_dedup": lambda: dedup.exact_dedup(vol_dir),
+    }
+    default_ops = ["prepare_corpus", "lm_perplexity",
+                   "winnow_fingerprints", "minhash_lsh_dedup"]
+    wanted = os.environ.get("VOLUME_OPS")
+    wanted = [s.strip() for s in wanted.split(",")] if wanted else default_ops
+
     def run(name, fn):
         t0 = time.monotonic()
         ds = fn()
@@ -499,11 +518,8 @@ def run_volume() -> dict:
         ops[name] = {"sec": round(time.monotonic() - t0, 2), "rows": int(rows)}
 
     t0 = time.monotonic()
-    run("prepare_corpus", lambda: prepare.prepare_corpus(vol_dir))
-    run("lm_perplexity", lambda: text.lm_perplexity(vol_dir))
-    run("winnow_fingerprints", lambda: text.winnow_fingerprints(vol_dir))
-    run("minhash_lsh_dedup",
-        lambda: dedup.minhash_lsh_dedup(vol_dir, ngram=3, threshold=0.5))
+    for name in wanted:
+        run(name, all_ops[name])
     total = round(time.monotonic() - t0, 2)
     out = {
         "metric": "hygiene suite at volume (prepare/lm_ppl/minhash), sec",

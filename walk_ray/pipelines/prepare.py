@@ -28,11 +28,19 @@ _SPLIT_BOUNDS = (("train", 900_000), ("val", 950_000), ("test", 1_000_000))
 
 
 def prepare_corpus(sf_dir: str, min_quality: float = PREP_MIN_QUALITY,
-                   chunk_words: int = 5, n_buckets: int | None = None):
+                   chunk_words: int = 5, n_buckets: int | None = None,
+                   out_dir: str | None = None, resume: bool = False):
     """documents → (doc_id, clean_text, n_chunks_kept, n_chunks_total,
     split) for every doc that (a) scores ≥ ``min_quality`` on the
     repo-wide clamped linear quality heuristic and (b) still owns at
-    least one first-occurrence chunk after global chunk dedup."""
+    least one first-occurrence chunk after global chunk dedup.
+
+    With ``out_dir`` the result is not returned as a Dataset but
+    written as resumable split-partitioned parquet
+    (``out_dir/split=train/...`` + per-partition ``_SUCCESS``; see
+    :func:`walk_ray.stages.sink.write_partitioned`) and the write
+    summary dict is returned; ``resume=True`` skips finished
+    partitions of an interrupted previous run."""
     import ray.data as rd
 
     from .dedup import chunk_dedup
@@ -70,4 +78,9 @@ def prepare_corpus(sf_dir: str, min_quality: float = PREP_MIN_QUALITY,
         idx = np.minimum(np.searchsorted(his, h, side="right"), len(his) - 1)
         return t.append_column("split", pa.array(names[idx], pa.string()))
 
-    return deduped.map_batches(assign_split, batch_format="pyarrow")
+    out = deduped.map_batches(assign_split, batch_format="pyarrow")
+    if out_dir is not None:
+        from ..stages.sink import write_partitioned
+
+        return write_partitioned(out, out_dir, by="split", resume=resume)
+    return out

@@ -128,3 +128,26 @@ def test_prepare_corpus_write_through(tmp_path):
     s2 = prepare_corpus(SF, out_dir=out, resume=True)
     assert s2["partitions_written"] == 0
     assert s2["rows_skipped"] == len(want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cli_prepare(tmp_path, capsys, monkeypatch):
+    """`walk_ray prepare` drives the write-through from the command
+    line and prints the summary JSON; --resume skips everything."""
+    import json
+
+    import ray
+
+    from walk_ray.cli import main
+
+    # the CLI owns its Ray session and shuts it down on exit; keep the
+    # test session alive
+    monkeypatch.setattr(ray, "shutdown", lambda *a, **k: None)
+    out = str(tmp_path / "prep")
+    assert main(["prepare", SF, out]) == 0
+    s1 = json.loads(capsys.readouterr().out)
+    assert s1["partitions_written"] >= 1 and s1["rows_written"] > 0
+    assert main(["prepare", SF, out, "--resume"]) == 0
+    s2 = json.loads(capsys.readouterr().out)
+    assert s2["partitions_written"] == 0
+    assert s2["rows_skipped"] == s1["rows_written"]

@@ -13,6 +13,7 @@ Usage:
     python -m walk_ray.cli index RESOURCES_DIR OUT_DIR
     python -m walk_ray.cli resolve RESOURCES_DIR URL
     python -m walk_ray.cli timespan RESOURCES_DIR
+    python -m walk_ray.cli prepare SF_DIR OUT_DIR [--resume]
 
 CLI entry points own their Ray session (init guarded; shutdown on
 exit), per the driver contract.
@@ -197,6 +198,22 @@ def cmd_timespan(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """Corpus preparation with resumable partitioned output: quality
+    filter → chunk dedup → split, written as
+    ``out/split=train|val|test/`` with per-partition ``_SUCCESS``
+    markers (re-run with ``--resume`` to skip finished partitions)."""
+    ray = _ray_session()
+    from .pipelines.prepare import prepare_corpus
+
+    kw = {} if args.min_quality is None else {"min_quality": args.min_quality}
+    summary = prepare_corpus(args.sf_dir, out_dir=args.out,
+                             resume=args.resume, **kw)
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="walk_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -265,6 +282,18 @@ def main(argv=None) -> int:
     s = sub.add_parser("config", help="show a crawl's job config")
     s.add_argument("workdir")
     s.set_defaults(fn=cmd_config)
+
+    s = sub.add_parser(
+        "prepare",
+        help="corpus prep (quality→dedup→split) to resumable "
+             "split-partitioned parquet")
+    s.add_argument("sf_dir", help="dir containing documents.parquet")
+    s.add_argument("out", help="output dir (split=... partitions)")
+    s.add_argument("--min-quality", type=float,
+                   default=None, dest="min_quality")
+    s.add_argument("--resume", action="store_true",
+                   help="skip partitions whose _SUCCESS marker exists")
+    s.set_defaults(fn=cmd_prepare)
 
     args = p.parse_args(argv)
     try:

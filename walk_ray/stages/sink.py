@@ -100,6 +100,10 @@ def write_partitioned(ds, out_dir: str, by: str,
         # stages/ free of an import-time dependency on pipelines/
         from ..pipelines.relational import _key_buckets
 
+        if by not in t.column_names:
+            raise KeyError(
+                f"write_partitioned: partition column {by!r} not in "
+                f"dataset columns {t.column_names}")
         vals = t[by].to_numpy(zero_copy_only=False)
         return t.append_column(
             "__part_bucket", pa.array(_key_buckets(vals, n_buckets),

@@ -565,10 +565,25 @@ def run_stats(name: str) -> None:
     ray.shutdown()
 
 
+def _scaling_graph_default() -> None:
+    """Scaling modes default to a 2M-page graph (1250 hosts x 1600)
+    instead of the headline 640k: as of the round-5 kernel work the
+    32-CPU crawl finishes 640k pages in ~9 s, where per-epoch executor
+    floors dominate and the measured ratio saturates (paired samples
+    read 0.5-0.7 with BOTH legs far above every historical number).
+    Scaling needs enough work per core that the parallel region, not
+    the fixed cost, is what's being ratioed. Explicit BENCH_HOSTS /
+    BENCH_PAGES_PER_HOST still win; legs inherit this env."""
+    os.environ.setdefault("BENCH_HOSTS", "1250")
+    os.environ.setdefault("BENCH_PAGES_PER_HOST", "1600")
+
+
 if __name__ == "__main__":
     if "--scaling-paired" in sys.argv:
+        _scaling_graph_default()
         print(json.dumps(run_scaling_paired()))
     elif "--scaling" in sys.argv:
+        _scaling_graph_default()
         print(json.dumps(run_scaling()))
     elif "--volume" in sys.argv:
         print(json.dumps(run_volume()))

@@ -214,6 +214,10 @@ def run_once() -> dict:
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # worker/raylet log lines otherwise forward to the DRIVER'S
+            # STDOUT (e.g. the many-workers raylet warning) and corrupt
+            # the one-JSON-line stdout contract
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
@@ -484,7 +488,8 @@ def run_volume() -> dict:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -544,7 +549,8 @@ def run_stats(name: str) -> None:
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-                 ignore_reinit_error=True, logging_level="ERROR")
+                 ignore_reinit_error=True, logging_level="ERROR",
+                 log_to_driver=False)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

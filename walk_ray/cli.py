@@ -38,6 +38,10 @@ def _ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # several commands print one parseable JSON result line;
+            # forwarded worker/raylet log lines otherwise land on the
+            # same stdout (errors still surface as raised exceptions)
+            log_to_driver=False,
         )
     from ray.data import DataContext
 
